@@ -1,0 +1,334 @@
+"""Pure-functional Whisper compute graphs for XLA.
+
+The reference factors inference into four separately compiled device graphs —
+Encoder, CrossKV, Decoder256 (prefill), Decoder1 (step) — because that
+factoring caps the number of distinct compiled shapes while keeping all
+activations device-resident (/root/reference/coreml/coreml.mm:26-463). We keep
+exactly that factoring, but as jitted JAX functions over static shapes:
+
+  encode      mel (B, n_mels, 3000)            -> xa (B, 1500, d)
+  cross_kv    xa                               -> cK/cV (L, B, H, 1500, dh)
+  prefill     tokens (B, 256) + cross K/V      -> hidden, per-layer self K/V
+  decode_step token (beam,) + KV cache         -> logits (beam, vocab), cache
+
+TPU-first choices vs the reference:
+  * layers are stacked and iterated with `lax.scan`, so compile time is
+    depth-independent (the reference split its encoder into <=12-layer
+    sub-models purely to appease ANECompilerService, encoder.py:114-136);
+  * the 448-slot self-attention KV cache is a donated device array updated
+    with `dynamic_update_slice`; beam reorder is a fused gather at the top of
+    the step graph instead of the reference's native memcpy shuffle
+    (coreml.mm:251-277);
+  * prefill runs each unique sequence once — beams are broadcast afterwards —
+    instead of the reference's sequential per-beam loop (decoder.py:216-234);
+  * matmuls run in the params' dtype (bf16 in production) with f32
+    accumulation/softmax; logits are always f32.
+
+LayerNorm epsilons follow the reference: 1e-7 in the audio encoder
+(encoder.py:66,95), 1e-5 (torch default) in the text decoder.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+CACHE_SLOTS = 448  # n_text_ctx; fixed self-attention cache length
+PREFILL_LEN = 256  # max first-pass token length (224 prompt + 3 sot + margin)
+
+
+def layer_norm(x, g, b, eps):
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.var(xf, axis=-1, keepdims=True)
+    out = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (out * g.astype(jnp.float32) + b.astype(jnp.float32)).astype(x.dtype)
+
+
+def _gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def _split_heads(x, n_head):
+    # (..., T, d) -> (..., T, H, dh)
+    return x.reshape(*x.shape[:-1], n_head, x.shape[-1] // n_head)
+
+
+def _self_attention(q, k, v, mask, n_head):
+    """q,k,v: (B, T, d); mask: broadcastable to (B, H, Tq, Tk) or None."""
+    dh = q.shape[-1] // n_head
+    qh = _split_heads(q * (dh**-0.5), n_head)
+    kh = _split_heads(k, n_head)
+    vh = _split_heads(v, n_head)
+    scores = jnp.einsum("bqhd,bkhd->bhqk", qh, kh, preferred_element_type=jnp.float32)
+    if mask is not None:
+        scores = scores + mask
+    w = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    return out.reshape(*q.shape)
+
+
+# ---------------------------------------------------------------------------
+# Encoder
+# ---------------------------------------------------------------------------
+
+
+def encode(enc, mel, *, n_head):
+    """mel: (B, n_mels, 3000) -> (B, 1500, d) audio features."""
+    dtype = enc["blocks"]["attn_q_w"].dtype
+    x = mel.astype(dtype)
+
+    dn = ("NCH", "OIH", "NCH")
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv1_w"].astype(dtype), (1,), ((1, 1),), dimension_numbers=dn
+    ) + enc["conv1_b"].astype(dtype)[None, :, None]
+    x = _gelu(x)
+    x = jax.lax.conv_general_dilated(
+        x, enc["conv2_w"].astype(dtype), (2,), ((1, 1),), dimension_numbers=dn
+    ) + enc["conv2_b"].astype(dtype)[None, :, None]
+    x = _gelu(x)
+
+    x = jnp.transpose(x, (0, 2, 1))  # (B, 1500, d)
+    x = x + enc["pos_emb"].astype(dtype)
+
+    def block(x, blk):
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-7)
+        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
+        k = h @ blk["attn_k_w"]
+        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
+        x = x + _self_attention(q, k, v, None, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+
+        h = layer_norm(x, blk["mlp_ln_g"], blk["mlp_ln_b"], eps=1e-7)
+        h = _gelu(h @ blk["mlp_fc1_w"] + blk["mlp_fc1_b"])
+        x = x + h @ blk["mlp_fc2_w"] + blk["mlp_fc2_b"]
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"], eps=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# Cross-attention K/V precompute (the reference's CrossKV graph,
+# convert_ckv.py / decoder.py:172-187)
+# ---------------------------------------------------------------------------
+
+
+def cross_kv(dec, xa, *, n_head):
+    """xa: (B, 1500, d) -> (cK, cV) each (L, B, H, 1500, dh)."""
+    blocks = dec["blocks"]
+    dtype = blocks["cross_k_w"].dtype
+    xa = xa.astype(dtype)
+    L = blocks["cross_k_w"].shape[0]
+    B, T, d = xa.shape
+    dh = d // n_head
+
+    ck = jnp.einsum("btd,lde->lbte", xa, blocks["cross_k_w"])
+    cv = jnp.einsum("btd,lde->lbte", xa, blocks["cross_v_w"]) + blocks["cross_v_b"][
+        :, None, None, :
+    ]
+    ck = jnp.transpose(ck.reshape(L, B, T, n_head, dh), (0, 1, 3, 2, 4))
+    cv = jnp.transpose(cv.reshape(L, B, T, n_head, dh), (0, 1, 3, 2, 4))
+    return ck, cv
+
+
+def _cross_attention(x, blk, ck_l, cv_l, n_head, return_scores=False):
+    """x: (B, T, d); ck_l/cv_l: (Bx, H, Tk, dh) with Bx in {1, B} (broadcast)."""
+    h = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
+    q = h @ blk["cross_q_w"] + blk["cross_q_b"]
+    dh = q.shape[-1] // n_head
+    qh = jnp.transpose(_split_heads(q * (dh**-0.5), n_head), (0, 2, 1, 3))
+    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, ck_l, preferred_element_type=jnp.float32)
+    w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
+    out = jnp.einsum("bhqk,bhkd->bqhd", w, cv_l)
+    out = out.reshape(*x.shape)
+    attn = out @ blk["cross_o_w"] + blk["cross_o_b"]
+    if return_scores:
+        return attn, scores
+    return attn, None
+
+
+def _mlp(x, blk):
+    h = layer_norm(x, blk["mlp_ln_g"], blk["mlp_ln_b"], eps=1e-5)
+    h = _gelu(h @ blk["mlp_fc1_w"] + blk["mlp_fc1_b"])
+    return h @ blk["mlp_fc2_w"] + blk["mlp_fc2_b"]
+
+
+# ---------------------------------------------------------------------------
+# Prefill (the reference's Decoder256 graph, decoder.py:207-240)
+# ---------------------------------------------------------------------------
+
+
+def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
+    """First decoder pass over a padded token block.
+
+    tokens: (B, PREFILL_LEN) int32, garbage beyond n_valid
+    n_valid: scalar int32, number of real tokens
+    ck/cv: (L, B or 1, H, 1500, dh)
+
+    Returns (hidden (B, P, d) final-LN'd, kv (L, 2, B, P, d)).
+    Key positions >= n_valid are masked for every query, mirroring the
+    reference qk_mask[:, n_ctx:] = -inf; query rows >= n_valid produce
+    garbage that callers must not read.
+    """
+    blocks = dec["blocks"]
+    dtype = blocks["attn_q_w"].dtype
+    B, P = tokens.shape
+
+    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+
+    causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
+    invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
+    mask = (causal + invalid)[None, None]  # (1, 1, P, P)
+
+    def block(x, inputs):
+        blk, ck_l, cv_l = inputs
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
+        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
+        k = h @ blk["attn_k_w"]
+        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
+        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+
+        attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
+        x = x + attn
+        x = x + _mlp(x, blk)
+        return x, jnp.stack([k, v])  # (2, B, P, d)
+
+    x, kv = jax.lax.scan(block, x, (blocks, ck, cv))
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
+    return x, kv
+
+
+def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_heads):
+    """Prefill variant that also returns cross-attention score rows for the
+    given static (layer, head) pairs — the reference Decoder256's
+    out_cross_head_weights output used for DTW word timing
+    (decoder.py:306-313). Layers are unrolled so only the selected heads are
+    materialized.
+
+    Returns (hidden, kv, align_scores (n_selected, P, 1500) float32).
+    """
+    blocks = dec["blocks"]
+    dtype = blocks["attn_q_w"].dtype
+    B, P = tokens.shape
+    L = blocks["attn_q_w"].shape[0]
+    assert B == 1, "alignment replay runs at batch size 1"
+
+    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+
+    causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
+    invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
+    mask = (causal + invalid)[None, None]
+
+    wanted = {}
+    for i, (layer, head) in enumerate(alignment_heads):
+        wanted.setdefault(int(layer), []).append((int(head), i))
+
+    align = [None] * len(alignment_heads)
+    kv = []
+    for l in range(L):
+        blk = jax.tree.map(lambda a: a[l], blocks)
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
+        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
+        k = h @ blk["attn_k_w"]
+        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
+        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+
+        need = l in wanted
+        attn, scores = _cross_attention(x, blk, ck[l], cv[l], n_head, return_scores=need)
+        if need:
+            for head, i in wanted[l]:
+                align[i] = scores[0, head]  # (P, 1500) f32
+        x = x + attn
+        x = x + _mlp(x, blk)
+        kv.append(jnp.stack([k, v]))
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
+    return x, jnp.stack(kv), jnp.stack(align)
+
+
+def hidden_to_logits(dec, hidden):
+    """hidden (..., d) -> logits (..., n_vocab) in float32."""
+    return jnp.einsum(
+        "...d,vd->...v", hidden, dec["tok_emb"], preferred_element_type=jnp.float32
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-token autoregressive step (the reference's Decoder1 graph,
+# decoder.py:241-259 + the native KV scatter, coreml.mm:404-444)
+# ---------------------------------------------------------------------------
+
+
+def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head):
+    """One autoregressive decoder step for all beams.
+
+    tokens: (beam,) int32 — tokens sampled at the previous step
+    pos:    scalar int32 — cache slot to write (== number of tokens so far)
+    cache:  (L, 2, beam, CACHE_SLOTS, d) — donated self-attention K/V cache
+    src:    (beam,) int32 — beam reorder indices from the previous beam-search
+            update, fused into this graph as a gather (identity for greedy)
+    ck/cv:  (L, 1 or beam, H, 1500, dh)
+
+    Returns (logits (beam, n_vocab) f32, new cache).
+    """
+    blocks = dec["blocks"]
+    dtype = blocks["attn_q_w"].dtype
+    beam = tokens.shape[0]
+    d = dec["tok_emb"].shape[1]
+    dh = d // n_head
+
+    cache = jnp.take(cache, src, axis=2)
+
+    x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
+    x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
+
+    kmask = jnp.where(
+        jnp.arange(CACHE_SLOTS)[None, None, :] <= pos, 0.0, -jnp.inf
+    )  # (1, 1, C)
+
+    def block(x, inputs):
+        blk, cache_l, ck_l, cv_l = inputs
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
+        q = (h @ blk["attn_q_w"] + blk["attn_q_b"])[:, 0]  # (beam, d)
+        k = (h @ blk["attn_k_w"])[:, 0]
+        v = (h @ blk["attn_v_w"] + blk["attn_v_b"])[:, 0]
+
+        cache_l = jax.lax.dynamic_update_slice(
+            cache_l, jnp.stack([k, v])[:, :, None, :], (0, 0, pos, 0)
+        )  # (2, beam, C, d)
+
+        qh = _split_heads(q * (dh**-0.5), n_head)  # (beam, H, dh)
+        kh = _split_heads(cache_l[0], n_head)  # (beam, C, H, dh)
+        vh = _split_heads(cache_l[1], n_head)
+        scores = (
+            jnp.einsum("bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32)
+            + kmask
+        )
+        w = jax.nn.softmax(scores, axis=-1).astype(dtype)
+        wv = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(beam, 1, d)
+        x = x + wv @ blk["attn_o_w"] + blk["attn_o_b"]
+
+        attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
+        x = x + attn
+        x = x + _mlp(x, blk)
+        return x, cache_l
+
+    x, cache = jax.lax.scan(block, x, (blocks, cache, ck, cv))
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
+    logits = hidden_to_logits(dec, x[:, 0])
+    return logits, cache
+
+
+def make_empty_cache(n_layer, beam, d, dtype):
+    return jnp.zeros((n_layer, 2, beam, CACHE_SLOTS, d), dtype=dtype)
+
+
+def kv_to_cache(kv, beam, dtype):
+    """Broadcast prefill K/V (L, 2, 1, P, d) into a fresh (L, 2, beam,
+    CACHE_SLOTS, d) cache. Replaces the reference's per-beam Decoder256 runs
+    writing into beam slots of arrayMKV448 (coreml.mm:279-327)."""
+    L, two, B, P, d = kv.shape
+    cache = jnp.zeros((L, 2, beam, CACHE_SLOTS, d), dtype=dtype)
+    kv_b = jnp.broadcast_to(kv.astype(dtype), (L, 2, beam, P, d))
+    return jax.lax.dynamic_update_slice(cache, kv_b, (0, 0, 0, 0, 0))

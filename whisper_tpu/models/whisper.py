@@ -1,0 +1,177 @@
+"""The user-facing Whisper model object.
+
+Holds dimensions, device parameters, and the jitted graph set (encode /
+cross_kv / prefill / decode_step). Mirrors the reference `Whisper` module's
+public surface (/root/reference/whisper/model.py:31-135): transcribe / decode
+/ detect_language methods, `is_multilingual`, `num_languages`,
+`set_alignment_heads`. Unlike the reference — where `Whisper.logits` is
+commented out and language auto-detection crashes (model.py:96-107) —
+language detection works here.
+"""
+
+import base64
+import gzip
+from functools import partial
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import graphs
+from .dims import ModelDimensions
+from .params import init_random_params
+
+_LN_KEYS = ("ln_g", "ln_b")
+
+
+def cast_params(params: Dict, dtype) -> Dict:
+    """Cast matmul weights to `dtype`; LayerNorm scale/shift stay float32
+    (they're consumed inside the f32 normalization anyway)."""
+
+    def cast(path, leaf):
+        if any(path.endswith(k) for k in _LN_KEYS):
+            return jnp.asarray(leaf, dtype=jnp.float32)
+        return jnp.asarray(leaf, dtype=dtype)
+
+    def walk(tree, prefix=""):
+        return {
+            k: walk(v, f"{prefix}{k}/") if isinstance(v, dict) else cast(f"{prefix}{k}", v)
+            for k, v in tree.items()
+        }
+
+    return walk(params)
+
+
+class Whisper:
+    def __init__(
+        self,
+        dims: ModelDimensions,
+        params: Optional[Dict] = None,
+        name: str = "custom",
+        compute_dtype: str = "bfloat16",
+    ):
+        self.dims = dims
+        self.name = name
+        self.compute_dtype = jnp.dtype(compute_dtype)
+        if params is None:
+            params = init_random_params(dims)
+        self.params = cast_params(params, self.compute_dtype)
+
+        # default alignment heads: all heads of the upper half of layers
+        half = dims.n_text_layer // 2
+        self.alignment_heads: List[Tuple[int, int]] = [
+            (l, h)
+            for l in range(half, dims.n_text_layer)
+            for h in range(dims.n_text_head)
+        ]
+
+        n_audio_head = dims.n_audio_head
+        n_text_head = dims.n_text_head
+
+        self._encode = jax.jit(partial(graphs.encode, n_head=n_audio_head))
+        self._cross_kv = jax.jit(partial(graphs.cross_kv, n_head=n_text_head))
+        self._prefill = jax.jit(partial(graphs.prefill, n_head=n_text_head))
+        self._decode_step = jax.jit(
+            partial(graphs.decode_step, n_head=n_text_head), donate_argnums=(3,)
+        )
+        self._logits = jax.jit(graphs.hidden_to_logits)
+        self._prefill_align_cache = {}
+
+    # ---- graph entry points -------------------------------------------------
+
+    def encode(self, mel) -> jax.Array:
+        """mel: (B, n_mels, 3000) -> audio features (B, 1500, d)."""
+        return self._encode(self.params["encoder"], jnp.asarray(mel))
+
+    def cross_kv(self, xa) -> Tuple[jax.Array, jax.Array]:
+        return self._cross_kv(self.params["decoder"], xa)
+
+    def prefill(self, tokens, n_valid, ck, cv):
+        """tokens: (B, n) int32 -> (hidden (B, 256, d), kv (L, 2, B, 256, d)).
+        Pads tokens to PREFILL_LEN internally."""
+        tokens = jnp.asarray(tokens, dtype=jnp.int32)
+        B, n = tokens.shape
+        if n > graphs.PREFILL_LEN:
+            raise ValueError(
+                f"initial token length {n} exceeds prefill window {graphs.PREFILL_LEN}"
+            )
+        padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
+        padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
+        return self._prefill(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
+
+    def prefill_align(self, tokens, n_valid, ck, cv):
+        """Prefill that also returns alignment-head cross-attention scores."""
+        key = tuple(self.alignment_heads)
+        if key not in self._prefill_align_cache:
+            self._prefill_align_cache[key] = jax.jit(
+                partial(
+                    graphs.prefill_with_alignment,
+                    n_head=self.dims.n_text_head,
+                    alignment_heads=key,
+                )
+            )
+        fn = self._prefill_align_cache[key]
+        tokens = jnp.asarray(tokens, dtype=jnp.int32)
+        B, n = tokens.shape
+        padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
+        padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
+        return fn(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
+
+    def decode_step(self, tokens, pos, cache, src, ck, cv):
+        return self._decode_step(
+            self.params["decoder"],
+            jnp.asarray(tokens, dtype=jnp.int32),
+            jnp.int32(pos),
+            cache,
+            jnp.asarray(src, dtype=jnp.int32),
+            ck,
+            cv,
+        )
+
+    def hidden_to_logits(self, hidden):
+        return self._logits(self.params["decoder"], hidden)
+
+    def new_cache(self, beam: int):
+        return graphs.make_empty_cache(
+            self.dims.n_text_layer, beam, self.dims.n_text_state, self.compute_dtype
+        )
+
+    def kv_to_cache(self, kv, beam: int):
+        return graphs.kv_to_cache(kv, beam, self.compute_dtype)
+
+    # ---- metadata ------------------------------------------------------------
+
+    @property
+    def is_multilingual(self) -> bool:
+        return self.dims.n_vocab >= 51865
+
+    @property
+    def num_languages(self) -> int:
+        return self.dims.n_vocab - 51765 - int(self.is_multilingual)
+
+    def set_alignment_heads(self, dump: bytes):
+        """Install the published per-model alignment-head mask (base85+gzip
+        packed bools of shape (n_text_layer, n_text_head))."""
+        array = np.frombuffer(gzip.decompress(base64.b85decode(dump)), dtype=bool)
+        mask = array.reshape(self.dims.n_text_layer, self.dims.n_text_head)
+        self.alignment_heads = [
+            (int(l), int(h)) for l, h in np.argwhere(mask)
+        ]
+
+    # ---- high-level API (bound in __init__ to avoid circular imports) --------
+
+    def decode(self, mel, options=None, **kwargs):
+        from ..decoding import decode as decode_fn
+
+        return decode_fn(self, mel, options, **kwargs)
+
+    def detect_language(self, mel_or_features, tokenizer=None):
+        from ..decoding import detect_language as detect_fn
+
+        return detect_fn(self, mel_or_features, tokenizer)
+
+    def transcribe(self, audio, **kwargs):
+        from ..transcribe import transcribe as transcribe_fn
+
+        return transcribe_fn(self, audio, **kwargs)

@@ -1,0 +1,90 @@
+"""Log-mel spectrogram: host (numpy) and on-device (jnp) implementations.
+
+Numerically mirrors the reference pipeline
+(/root/reference/whisper/audio.py:110-157): centered Hann-window STFT
+(n_fft=400, hop=160, reflect padding), power spectrum with the final frame
+dropped, mel projection, log10 with 1e-10 floor, dynamic-range compression to
+8 dB below the global max, then (x+4)/4 scaling.
+
+The numpy path is the default for the host orchestrator (a 30 s window costs
+~10 ms). The jnp path is jittable and is used by the batched/TPU pipeline and
+the multi-stream benchmark; it expresses framing as a strided reshape so XLA
+lowers the whole frontend to one fused kernel feeding the rfft.
+"""
+
+import numpy as np
+
+from .mel import mel_filterbank
+
+HOP_LENGTH = 160
+N_FFT = 400
+
+
+def _hann_window(n: int) -> np.ndarray:
+    # periodic Hann, as used by torch.hann_window(N)
+    return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float64)
+
+
+def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0) -> np.ndarray:
+    """audio: float32 (n_samples,) at 16 kHz -> (n_mels, n_samples//160) float32."""
+    audio = np.asarray(audio, dtype=np.float32)
+    if padding > 0:
+        audio = np.concatenate([audio, np.zeros(padding, dtype=np.float32)])
+
+    half = N_FFT // 2
+    padded = np.pad(audio.astype(np.float64), (half, half), mode="reflect")
+    n_frames = 1 + (padded.shape[0] - N_FFT) // HOP_LENGTH
+    # strided framing view: (n_frames, N_FFT)
+    frames = np.lib.stride_tricks.as_strided(
+        padded,
+        shape=(n_frames, N_FFT),
+        strides=(padded.strides[0] * HOP_LENGTH, padded.strides[0]),
+        writeable=False,
+    )
+    spec = np.fft.rfft(frames * _hann_window(N_FFT), axis=-1)
+    magnitudes = np.abs(spec[:-1]) ** 2  # drop the final frame like torch path
+
+    mel = mel_filterbank(n_mels).astype(np.float64) @ magnitudes.T
+    log_spec = np.log10(np.maximum(mel, 1e-10))
+    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def log_mel_spectrogram_jax(audio, n_mels: int = 80):
+    """Jittable log-mel for a fixed-length audio array (shape must be static).
+
+    audio: (n_samples,) or (batch, n_samples) float32, n_samples % 160 == 0.
+    Returns (..., n_mels, n_samples//160) float32.
+    """
+    import jax.numpy as jnp
+
+    single = audio.ndim == 1
+    if single:
+        audio = audio[None]
+    b, n = audio.shape
+    assert n % HOP_LENGTH == 0, "audio length must be a multiple of the hop"
+
+    half = N_FFT // 2
+    # reflect padding
+    left = audio[:, 1 : half + 1][:, ::-1]
+    right = audio[:, -half - 1 : -1][:, ::-1]
+    padded = jnp.concatenate([left, audio, right], axis=1)
+
+    n_frames = 1 + (padded.shape[1] - N_FFT) // HOP_LENGTH
+    idx = (
+        jnp.arange(n_frames)[:, None] * HOP_LENGTH + jnp.arange(N_FFT)[None, :]
+    )  # (n_frames, N_FFT)
+    frames = padded[:, idx]  # (b, n_frames, N_FFT)
+
+    window = jnp.asarray(_hann_window(N_FFT), dtype=jnp.float32)
+    spec = jnp.fft.rfft(frames * window, axis=-1)
+    magnitudes = jnp.abs(spec[:, :-1, :]) ** 2  # (b, n//160, 201)
+
+    filters = jnp.asarray(mel_filterbank(n_mels))  # (n_mels, 201)
+    mel = jnp.einsum("mf,btf->bmt", filters, magnitudes)
+
+    log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
+    global_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
+    log_spec = jnp.maximum(log_spec, global_max - 8.0)
+    out = (log_spec + 4.0) / 4.0
+    return out[0] if single else out
