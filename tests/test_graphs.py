@@ -1,0 +1,113 @@
+"""Per-graph numerics parity vs the reference torch implementation."""
+
+import numpy as np
+import pytest
+import torch
+
+import jax.numpy as jnp
+
+
+@pytest.fixture(scope="module")
+def xa_pair(reference_model, tpu_model):
+    mel = (np.random.RandomState(0).randn(1, 80, 3000) * 0.5).astype(np.float32)
+    with torch.no_grad():
+        xa_ref = reference_model.encoder(torch.from_numpy(mel)).numpy()
+    xa = np.asarray(tpu_model.encode(mel))
+    return mel, xa, xa_ref
+
+
+def test_encoder_parity(xa_pair):
+    _, xa, xa_ref = xa_pair
+    assert xa.shape == xa_ref.shape
+    assert np.abs(xa - xa_ref).max() < 1e-4
+
+
+def test_cross_kv_parity(reference_model, tpu_model, xa_pair, tiny_dims):
+    _, _, xa_ref = xa_pair
+    L, H = tiny_dims.n_text_layer, tiny_dims.n_text_head
+    with torch.no_grad():
+        ck_ref, cv_ref = reference_model.decoder.crossKVCaches(torch.from_numpy(xa_ref))
+    ck, cv = tpu_model.cross_kv(jnp.asarray(xa_ref))
+    ck_ref = ck_ref.numpy().reshape(L, 1, H, 64, 1500).transpose(0, 1, 2, 4, 3)
+    cv_ref = cv_ref.numpy().reshape(L, 1, H, 1500, 64)
+    assert np.abs(np.asarray(ck) - ck_ref).max() < 1e-4
+    assert np.abs(np.asarray(cv) - cv_ref).max() < 1e-4
+
+
+def test_prefill_and_step_parity(reference_model, tpu_model, xa_pair):
+    _, _, xa_ref = xa_pair
+    tokens = np.array([[50258, 50259, 50359, 123, 456, 789]], dtype=np.int64)
+    n = tokens.shape[1]
+
+    with torch.no_grad():
+        logits_ref, _, new_mkv = reference_model.decoder(
+            torch.from_numpy(tokens), torch.from_numpy(xa_ref), 0, None
+        )
+
+    ck, cv = tpu_model.cross_kv(jnp.asarray(xa_ref))
+    hidden, kv = tpu_model.prefill(tokens, n, ck, cv)
+    logits = np.asarray(tpu_model.hidden_to_logits(hidden))[:, :n]
+    assert np.abs(logits - logits_ref.numpy()).max() < 1e-4
+
+    # autoregressive steps must track the reference including cache handling
+    mkv = torch.cat(
+        [new_mkv, torch.zeros(new_mkv.shape[0], new_mkv.shape[1], 192, new_mkv.shape[3])],
+        dim=2,
+    )
+    cache = tpu_model.kv_to_cache(kv, beam=1)
+    off, tok = n, 999
+    for _ in range(4):
+        with torch.no_grad():
+            lr, _, up = reference_model.decoder(
+                torch.from_numpy(np.array([[tok]])), None, off, mkv
+            )
+        mkv[:, :, off : off + 1, :] = up
+        lm, cache = tpu_model.decode_step(
+            np.array([tok]), off, cache, np.array([0]), ck, cv
+        )
+        assert np.abs(np.asarray(lm) - lr[:, -1].numpy()).max() < 1e-4
+        assert int(np.asarray(lm)[0].argmax()) == int(lr[0, -1].argmax())
+        off += 1
+        tok = int(lr[0, -1].argmax())
+
+
+def test_beam_cache_reorder(tpu_model, xa_pair):
+    """Beam reorder fused into decode_step must equal reordering by hand."""
+    _, _, xa_ref = xa_pair
+    ck, cv = tpu_model.cross_kv(jnp.asarray(xa_ref))
+    tokens = np.array([[50258, 50259, 50359]], dtype=np.int64)
+    _, kv = tpu_model.prefill(tokens, 3, ck, cv)
+    cache = tpu_model.kv_to_cache(kv, beam=3)
+
+    ck3 = jnp.repeat(ck, 3, axis=1)
+    cv3 = jnp.repeat(cv, 3, axis=1)
+    # diverge the beams once (the cache arg is donated, so keep a copy)
+    l1, cache = tpu_model.decode_step(
+        np.array([10, 20, 30]), 3, cache, np.array([0, 1, 2]), ck3, cv3
+    )
+    cache_copy = jnp.array(cache, copy=True)
+
+    # apply a nontrivial reorder fused into the next step
+    src = np.array([2, 0, 0])
+    l2, _ = tpu_model.decode_step(np.array([7, 8, 9]), 4, cache, src, ck3, cv3)
+
+    # manual reorder then identity-src step must give identical logits
+    cache_manual = jnp.take(cache_copy, jnp.asarray(src), axis=2)
+    l2b, _ = tpu_model.decode_step(
+        np.array([7, 8, 9]), 4, cache_manual, np.array([0, 1, 2]), ck3, cv3
+    )
+    assert np.allclose(np.asarray(l2), np.asarray(l2b), atol=1e-5)
+
+
+def test_bfloat16_mode_consistency(synth_checkpoint):
+    """bf16 graphs run and broadly agree with f32 (top-1 on clear logits)."""
+    import whisper_tpu
+
+    m32 = whisper_tpu.load_model(synth_checkpoint, compute_dtype="float32")
+    m16 = whisper_tpu.load_model(synth_checkpoint, compute_dtype="bfloat16")
+    mel = (np.random.RandomState(1).randn(1, 80, 3000) * 0.5).astype(np.float32)
+    xa32 = np.asarray(m32.encode(mel))
+    xa16 = np.asarray(m16.encode(mel), dtype=np.float32)
+    assert np.isfinite(xa16).all()
+    rel = np.abs(xa16 - xa32).max() / (np.abs(xa32).max() + 1e-9)
+    assert rel < 0.1

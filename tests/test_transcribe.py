@@ -1,0 +1,112 @@
+"""End-to-end transcription parity vs the reference on tests/jfk.flac with a
+synthetic checkpoint (cf. /root/reference/tests/test_transcribe.py), plus
+writer output checks."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import torch
+
+from whisper_tpu.utils import get_writer
+
+
+@pytest.fixture(scope="module")
+def transcripts(reference_model, tpu_model, jfk_audio):
+    res_ref = reference_model.transcribe(
+        torch.from_numpy(jfk_audio),
+        language="en",
+        temperature=0.0,
+        verbose=None,
+        fp16=False,
+    )
+    res_mine = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None
+    )
+    return res_ref, res_mine
+
+
+def test_transcribe_text_parity(transcripts):
+    res_ref, res_mine = transcripts
+    assert res_mine["language"] == res_ref["language"] == "en"
+    assert res_mine["text"] == res_ref["text"]
+    assert len(res_mine["segments"]) == len(res_ref["segments"])
+    for rs, ms in zip(res_ref["segments"], res_mine["segments"]):
+        assert ms["tokens"] == rs["tokens"]
+        assert abs(ms["start"] - rs["start"]) < 1e-6
+        assert abs(ms["end"] - rs["end"]) < 1e-6
+        assert abs(ms["avg_logprob"] - rs["avg_logprob"]) < 1e-3
+        assert abs(ms["no_speech_prob"] - rs["no_speech_prob"]) < 1e-4
+
+
+def test_transcribe_text_is_segment_concat(transcripts):
+    _, res = transcripts
+    assert res["text"] == "".join(s["text"] for s in res["segments"])
+
+
+def test_word_timestamps_parity(reference_model, tpu_model, jfk_audio):
+    res_ref = reference_model.transcribe(
+        torch.from_numpy(jfk_audio),
+        language="en",
+        temperature=0.0,
+        verbose=None,
+        fp16=False,
+        word_timestamps=True,
+    )
+    res_mine = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None, word_timestamps=True
+    )
+    ref_words = [w for s in res_ref["segments"] for w in s.get("words", [])]
+    my_words = [w for s in res_mine["segments"] for w in s.get("words", [])]
+    assert [w["word"] for w in my_words] == [w["word"] for w in ref_words]
+    for a, b in zip(my_words, ref_words):
+        assert abs(a["start"] - b["start"]) < 0.05
+        assert abs(a["end"] - b["end"]) < 0.05
+    # timings are monotone
+    starts = [w["start"] for w in my_words]
+    ends = [w["end"] for w in my_words]
+    assert all(s <= e for s, e in zip(starts, ends))
+
+
+def test_writers(transcripts, tmp_path):
+    _, result = transcripts
+    # writers require a words key on every segment when any segment has one
+    for fmt in ["txt", "vtt", "srt", "tsv", "json"]:
+        writer = get_writer(fmt, str(tmp_path))
+        writer(result, "jfk.flac")
+        out = tmp_path / f"jfk.{fmt}"
+        assert out.exists() and out.stat().st_size > 0
+
+    data = json.loads((tmp_path / "jfk.json").read_text())
+    assert data["text"] == result["text"]
+    srt = (tmp_path / "jfk.srt").read_text()
+    assert "-->" in srt
+
+    all_writer = get_writer("all", str(tmp_path / "all"))
+    os.makedirs(tmp_path / "all", exist_ok=True)
+    all_writer(result, "jfk.flac")
+    assert (tmp_path / "all" / "jfk.vtt").exists()
+
+
+def test_clip_timestamps(tpu_model, jfk_audio):
+    res = tpu_model.transcribe(
+        jfk_audio,
+        language="en",
+        temperature=0.0,
+        verbose=None,
+        clip_timestamps="2,8",
+    )
+    assert all(s["start"] >= 2.0 - 1e-6 for s in res["segments"])
+
+
+def test_initial_prompt_carries(tpu_model, jfk_audio):
+    res = tpu_model.transcribe(
+        jfk_audio[: 16000 * 5],
+        language="en",
+        temperature=0.0,
+        verbose=None,
+        initial_prompt="Greetings",
+        carry_initial_prompt=True,
+    )
+    assert "text" in res

@@ -1,0 +1,752 @@
+"""Per-window decoding engine: options, logit filters, greedy/beam search.
+
+Semantics contract is the reference engine (/root/reference/whisper/decoding.py):
+same DecodingOptions/DecodingResult fields, same initial-token construction,
+same suppression sets, same timestamp rules (including the
+timestamp-probability-mass rule), same beam bookkeeping with patience, same
+length-penalty ranking — so greedy decoding is token-for-token identical.
+
+Execution maps onto the four compiled graphs:
+  * the encoder + cross-KV run once per window;
+  * the first decoder pass is a single batched prefill (beams are identical
+    before sampling, so it runs once and the KV cache is broadcast — the
+    reference loops beam-by-beam through its Decoder256, decoder.py:216-234);
+  * each subsequent token is one jitted `decode_step` whose cache is donated,
+    with any beam reorder from the previous step fused in as a gather;
+  * sampling, filters and beam bookkeeping run host-side on the (n_batch,
+    n_vocab) logits — exactly the split the reference uses. A fully-fused
+    on-device loop lives in engine_fused.py for the performance path.
+
+This fork of Whisper broke `detect_language` (model.logits removed,
+reference model.py:96-107); it is restored here.
+"""
+
+from dataclasses import dataclass, field, replace
+from typing import TYPE_CHECKING, Dict, Iterable, List, Optional, Sequence, Tuple, Union
+
+import jax.numpy as jnp
+import numpy as np
+
+from .audio import CHUNK_LENGTH
+from .tokenizer import Tokenizer, get_tokenizer
+from .utils import compression_ratio
+
+if TYPE_CHECKING:
+    from .models.whisper import Whisper
+
+
+def _log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
+    x = x.astype(np.float32)
+    m = x.max(axis=axis, keepdims=True)
+    s = x - m
+    return s - np.log(np.exp(s).sum(axis=axis, keepdims=True))
+
+
+def detect_language(
+    model: "Whisper", mel, tokenizer: Optional[Tokenizer] = None
+) -> Tuple[np.ndarray, Union[dict, List[dict]]]:
+    """Detect the spoken language from a mel window (or precomputed audio
+    features). Returns (language token id(s), probability dict(s))."""
+    if tokenizer is None:
+        tokenizer = get_tokenizer(
+            model.is_multilingual, num_languages=model.num_languages
+        )
+    if (
+        tokenizer.language is None
+        or tokenizer.language_token not in tokenizer.sot_sequence
+    ):
+        raise ValueError(
+            "This model doesn't have language tokens so it can't perform lang id"
+        )
+
+    mel = np.asarray(mel)
+    single = mel.ndim == 2
+    if single:
+        mel = mel[None]
+
+    if mel.shape[-2:] != (model.dims.n_audio_ctx, model.dims.n_audio_state):
+        features = model.encode(mel)
+    else:
+        features = jnp.asarray(mel)
+
+    n_audio = features.shape[0]
+    ck, cv = model.cross_kv(features)
+    tokens = np.full((n_audio, 1), tokenizer.sot, dtype=np.int32)
+    hidden, _ = model.prefill(tokens, 1, ck, cv)
+    logits = np.array(model.hidden_to_logits(hidden[:, 0]))  # (n_audio, vocab), writable
+
+    mask = np.ones(logits.shape[-1], dtype=bool)
+    mask[list(tokenizer.all_language_tokens)] = False
+    logits[:, mask] = -np.inf
+    language_tokens = logits.argmax(axis=-1)
+    probs = np.exp(_log_softmax(logits))
+    language_probs = [
+        {
+            c: float(probs[i, j])
+            for j, c in zip(tokenizer.all_language_tokens, tokenizer.all_language_codes)
+        }
+        for i in range(n_audio)
+    ]
+
+    if single:
+        return language_tokens[0], language_probs[0]
+    return language_tokens, language_probs
+
+
+@dataclass(frozen=True)
+class DecodingOptions:
+    task: str = "transcribe"  # "transcribe" or "translate"
+    language: Optional[str] = None  # None -> auto-detect
+
+    # sampling
+    temperature: float = 0.0
+    sample_len: Optional[int] = None
+    best_of: Optional[int] = None  # independent samples when t > 0
+    beam_size: Optional[int] = None  # beams when t == 0
+    patience: Optional[float] = None  # beam search patience (arxiv:2204.05424)
+
+    # ranking: None = length norm, else Google-NMT length penalty alpha
+    length_penalty: Optional[float] = None
+
+    prompt: Optional[Union[str, List[int]]] = None  # previous context
+    prefix: Optional[Union[str, List[int]]] = None  # current-context prefix
+
+    suppress_tokens: Optional[Union[str, Iterable[int]]] = "-1"
+    suppress_blank: bool = True
+
+    without_timestamps: bool = False
+    max_initial_timestamp: Optional[float] = 1.0
+
+    # kept for API compatibility with the reference; the TPU path computes in
+    # bf16 with f32 accumulation regardless
+    fp16: bool = True
+
+
+@dataclass(frozen=True)
+class DecodingResult:
+    audio_features: object
+    language: str
+    language_probs: Optional[Dict[str, float]] = None
+    tokens: List[int] = field(default_factory=list)
+    text: str = ""
+    avg_logprob: float = np.nan
+    no_speech_prob: float = np.nan
+    temperature: float = np.nan
+    compression_ratio: float = np.nan
+
+
+class Inference:
+    """Decoder execution state for one decode() call: cross-K/V, the 448-slot
+    device KV cache, write offset, and the pending beam-reorder permutation
+    (fused into the next step as a gather — replacing the reference's native
+    rearrange_mkv memcpy, coreml.mm:251-277)."""
+
+    def __init__(self, model: "Whisper", initial_token_length: int, n_group: int):
+        self.model = model
+        self.initial_token_length = initial_token_length
+        self.n_group = n_group
+        self.text_offset = 0
+        self.cache = None
+        self.ck = None
+        self.cv = None
+        self.pending_src: Optional[np.ndarray] = None
+        self._ck_grouped = None
+        self._cv_grouped = None
+
+    def set_audio_features(self, audio_features):
+        self.ck, self.cv = self.model.cross_kv(audio_features)
+
+    def logits(self, tokens: np.ndarray) -> np.ndarray:
+        """tokens: (n_batch, cur_len) full sequences. Returns last-position
+        logits (n_batch, n_vocab) float32. On the first call also stores
+        sot-position logits in self.sot_logits (for no-speech probability)."""
+        n_batch = tokens.shape[0]
+        n_audio = n_batch // self.n_group
+
+        if self.text_offset == 0:
+            # prefill: all rows within a group are identical -> run one per audio
+            unique = tokens[:: self.n_group]  # (n_audio, len)
+            n = unique.shape[1]
+            hidden, kv = self.model.prefill(unique, n, self.ck, self.cv)
+            self.cache = self.model.kv_to_cache_grouped(kv, self.n_group)
+            self.text_offset = n
+            # logits at the sot index and the final position, per audio
+            self.prefill_hidden = hidden  # (n_audio, 256, d)
+            last = np.asarray(self.model.hidden_to_logits(hidden[:, n - 1]))
+            out = np.repeat(last, self.n_group, axis=0)
+            return out
+        else:
+            step_tokens = tokens[:, -1].astype(np.int32)
+            src = self.pending_src
+            if src is None:
+                src = np.arange(n_batch, dtype=np.int32)
+            self.pending_src = None
+            ck, cv = self._grouped_cross_kv()
+            logits, self.cache = self.model.decode_step(
+                step_tokens, self.text_offset, self.cache, src, ck, cv
+            )
+            self.text_offset += 1
+            return np.array(logits)  # writable host copy for the logit filters
+
+    def logits_at(self, position: int) -> np.ndarray:
+        """Prefill logits at an absolute position (per audio, repeated over
+        the group) — used for the no-speech probability at the sot index."""
+        h = self.prefill_hidden[:, position]
+        out = np.asarray(self.model.hidden_to_logits(h))
+        return np.repeat(out, self.n_group, axis=0)
+
+    def _grouped_cross_kv(self):
+        if self.n_group == 1:
+            return self.ck, self.cv
+        if getattr(self, "_ck_grouped", None) is None:
+            self._ck_grouped = jnp.repeat(self.ck, self.n_group, axis=1)
+            self._cv_grouped = jnp.repeat(self.cv, self.n_group, axis=1)
+        return self._ck_grouped, self._cv_grouped
+
+    def rearrange_kv_cache(self, source_indices: Sequence[int]):
+        src = np.asarray(source_indices, dtype=np.int32)
+        if self.pending_src is None:
+            self.pending_src = src
+        else:  # compose with any unapplied permutation
+            self.pending_src = self.pending_src[src]
+
+    def cleanup_caching(self):
+        self.text_offset = 0
+        self.cache = None
+        self.pending_src = None
+        self._ck_grouped = None
+        self._cv_grouped = None
+
+
+class SequenceRanker:
+    def rank(self, tokens: List[List[np.ndarray]], sum_logprobs: List[List[float]]):
+        raise NotImplementedError
+
+
+class MaximumLikelihoodRanker(SequenceRanker):
+    """Pick the sample with the highest logprob, normalized by simple length
+    or the Google NMT length penalty."""
+
+    def __init__(self, length_penalty: Optional[float]):
+        self.length_penalty = length_penalty
+
+    def rank(self, tokens, sum_logprobs):
+        def scores(logprobs, lengths):
+            result = []
+            for logprob, length in zip(logprobs, lengths):
+                if self.length_penalty is None:
+                    penalty = length
+                else:
+                    penalty = ((5 + length) / 6) ** self.length_penalty
+                result.append(logprob / penalty)
+            return result
+
+        lengths = [[len(t) for t in s] for s in tokens]
+        return [np.argmax(scores(p, l)) for p, l in zip(sum_logprobs, lengths)]
+
+
+class TokenDecoder:
+    def reset(self):
+        pass
+
+    def update(
+        self, tokens: np.ndarray, logits: np.ndarray, sum_logprobs: np.ndarray
+    ) -> Tuple[np.ndarray, bool]:
+        raise NotImplementedError
+
+    def finalize(self, tokens: np.ndarray, sum_logprobs: np.ndarray):
+        raise NotImplementedError
+
+
+class GreedyDecoder(TokenDecoder):
+    def __init__(self, temperature: float, eot: int, rng: Optional[np.random.RandomState] = None):
+        self.temperature = temperature
+        self.eot = eot
+        self.rng = rng or np.random.RandomState()
+
+    def update(self, tokens, logits, sum_logprobs):
+        if self.temperature == 0:
+            next_tokens = logits.argmax(axis=-1)
+        else:
+            # Gumbel-max sampling from softmax(logits / T)
+            scaled = logits.astype(np.float64) / self.temperature
+            gumbel = -np.log(-np.log(self.rng.uniform(size=scaled.shape)))
+            next_tokens = (scaled + gumbel).argmax(axis=-1)
+
+        logprobs = _log_softmax(logits)
+        current = logprobs[np.arange(logprobs.shape[0]), next_tokens]
+        sum_logprobs += current * (tokens[:, -1] != self.eot)
+
+        next_tokens[tokens[:, -1] == self.eot] = self.eot
+        tokens = np.concatenate([tokens, next_tokens[:, None]], axis=-1)
+
+        completed = bool((tokens[:, -1] == self.eot).all())
+        return tokens, completed
+
+    def finalize(self, tokens, sum_logprobs):
+        tokens = np.pad(tokens, ((0, 0), (0, 0), (0, 1)), constant_values=self.eot)
+        return tokens, sum_logprobs.tolist()
+
+
+class BeamSearchDecoder(TokenDecoder):
+    def __init__(
+        self,
+        beam_size: int,
+        eot: int,
+        inference: Inference,
+        patience: Optional[float] = None,
+    ):
+        self.beam_size = beam_size
+        self.eot = eot
+        self.inference = inference
+        self.patience = patience or 1.0
+        self.max_candidates: int = round(beam_size * self.patience)
+        self.finished_sequences = None
+
+        assert self.max_candidates > 0, (
+            f"Invalid beam size ({beam_size}) or patience ({patience})"
+        )
+
+    def reset(self):
+        self.finished_sequences = None
+
+    def update(self, tokens, logits, sum_logprobs):
+        if tokens.shape[0] % self.beam_size != 0:
+            raise ValueError(f"{tokens.shape}[0] % {self.beam_size} != 0")
+
+        n_audio = tokens.shape[0] // self.beam_size
+        if self.finished_sequences is None:
+            self.finished_sequences = [{} for _ in range(n_audio)]
+
+        logprobs = _log_softmax(logits)
+        next_tokens, source_indices, finished_sequences = [], [], []
+        for i in range(n_audio):
+            scores, sources, finished = {}, {}, {}
+
+            # enumerate candidates: top (beam+1) continuations of each beam.
+            # np.argsort is stable, so exact ties keep ascending-index order —
+            # matching torch.topk and the reference's dict insertion order.
+            for j in range(self.beam_size):
+                idx = i * self.beam_size + j
+                prefix = tokens[idx].tolist()
+                row = logprobs[idx]
+                topk_idx = np.argsort(-row, kind="stable")[: self.beam_size + 1]
+                for token in topk_idx:
+                    new_logprob = float(sum_logprobs[idx] + row[token])
+                    sequence = tuple(prefix + [int(token)])
+                    scores[sequence] = new_logprob
+                    sources[sequence] = idx
+
+            # keep the top beam_size unfinished sequences; route EOT-ended
+            # ones to the finished pool
+            saved = 0
+            for sequence in sorted(scores, key=scores.get, reverse=True):
+                if sequence[-1] == self.eot:
+                    finished[sequence] = scores[sequence]
+                else:
+                    sum_logprobs[len(next_tokens)] = scores[sequence]
+                    next_tokens.append(sequence)
+                    source_indices.append(sources[sequence])
+                    saved += 1
+                    if saved == self.beam_size:
+                        break
+
+            finished_sequences.append(finished)
+
+        tokens = np.array(next_tokens, dtype=tokens.dtype)
+        self.inference.rearrange_kv_cache(source_indices)
+
+        assert len(self.finished_sequences) == len(finished_sequences)
+        for previously_finished, newly_finished in zip(
+            self.finished_sequences, finished_sequences
+        ):
+            for seq in sorted(newly_finished, key=newly_finished.get, reverse=True):
+                if len(previously_finished) >= self.max_candidates:
+                    break
+                previously_finished[seq] = newly_finished[seq]
+
+        completed = all(
+            len(sequences) >= self.max_candidates
+            for sequences in self.finished_sequences
+        )
+        return tokens, completed
+
+    def finalize(self, preceding_tokens, sum_logprobs):
+        # fill with unfinished sequences if not enough finished ones exist
+        sum_logprobs = np.asarray(sum_logprobs)
+        for i, sequences in enumerate(self.finished_sequences):
+            if len(sequences) < self.beam_size:
+                for j in list(np.argsort(sum_logprobs[i]))[::-1]:
+                    sequence = preceding_tokens[i, j].tolist() + [self.eot]
+                    sequences[tuple(sequence)] = float(sum_logprobs[i][j])
+                    if len(sequences) >= self.beam_size:
+                        break
+
+        tokens = [
+            [np.array(seq) for seq in sequences.keys()]
+            for sequences in self.finished_sequences
+        ]
+        sum_logprobs = [
+            list(sequences.values()) for sequences in self.finished_sequences
+        ]
+        return tokens, sum_logprobs
+
+
+class LogitFilter:
+    def apply(self, logits: np.ndarray, tokens: np.ndarray) -> None:
+        raise NotImplementedError
+
+
+class SuppressBlank(LogitFilter):
+    def __init__(self, tokenizer: Tokenizer, sample_begin: int):
+        self.suppress = tokenizer.encode(" ") + [tokenizer.eot]
+        self.sample_begin = sample_begin
+
+    def apply(self, logits, tokens):
+        if tokens.shape[1] == self.sample_begin:
+            logits[:, self.suppress] = -np.inf
+
+
+class SuppressTokens(LogitFilter):
+    def __init__(self, suppress_tokens: Sequence[int]):
+        self.suppress_tokens = list(suppress_tokens)
+
+    def apply(self, logits, tokens):
+        logits[:, self.suppress_tokens] = -np.inf
+
+
+class ApplyTimestampRules(LogitFilter):
+    """Timestamp-token grammar: timestamps come in pairs (except before EOT),
+    never decrease, must start the sample, respect max_initial_timestamp, and
+    win over text when their total probability mass is higher."""
+
+    def __init__(
+        self,
+        tokenizer: Tokenizer,
+        sample_begin: int,
+        max_initial_timestamp_index: Optional[int],
+    ):
+        self.tokenizer = tokenizer
+        self.sample_begin = sample_begin
+        self.max_initial_timestamp_index = max_initial_timestamp_index
+
+    def apply(self, logits, tokens):
+        tok = self.tokenizer
+        if tok.no_timestamps is not None:
+            logits[:, tok.no_timestamps] = -np.inf
+
+        for k in range(tokens.shape[0]):
+            seq = tokens[k, self.sample_begin :].tolist()
+            last_was_timestamp = len(seq) >= 1 and seq[-1] >= tok.timestamp_begin
+            penultimate_was_timestamp = len(seq) < 2 or seq[-2] >= tok.timestamp_begin
+
+            if last_was_timestamp:
+                if penultimate_was_timestamp:  # pair complete: force non-timestamp
+                    logits[k, tok.timestamp_begin :] = -np.inf
+                else:  # mid-pair: forbid text tokens
+                    logits[k, : tok.eot] = -np.inf
+
+            timestamps = [t for t in seq if t >= tok.timestamp_begin]
+            if timestamps:
+                # monotonic timestamps; require nonzero-length segments
+                if last_was_timestamp and not penultimate_was_timestamp:
+                    timestamp_last = timestamps[-1]
+                else:
+                    timestamp_last = timestamps[-1] + 1
+                logits[k, tok.timestamp_begin : timestamp_last] = -np.inf
+
+        if tokens.shape[1] == self.sample_begin:
+            # the sample must start with a timestamp
+            logits[:, : tok.timestamp_begin] = -np.inf
+            if self.max_initial_timestamp_index is not None:
+                last_allowed = tok.timestamp_begin + self.max_initial_timestamp_index
+                logits[:, last_allowed + 1 :] = -np.inf
+
+        # prefer timestamps when their probability mass beats every text token
+        logprobs = _log_softmax(logits)
+        for k in range(tokens.shape[0]):
+            ts_slice = logprobs[k, tok.timestamp_begin :]
+            m = ts_slice.max()
+            timestamp_logprob = m + np.log(np.exp(ts_slice - m).sum()) if np.isfinite(m) else -np.inf
+            max_text_token_logprob = logprobs[k, : tok.timestamp_begin].max()
+            if timestamp_logprob > max_text_token_logprob:
+                logits[k, : tok.timestamp_begin] = -np.inf
+
+
+class DecodingTask:
+    inference: Inference
+    sequence_ranker: SequenceRanker
+    decoder: TokenDecoder
+    logit_filters: List[LogitFilter]
+
+    def __init__(self, model: "Whisper", options: DecodingOptions):
+        self.model = model
+
+        language = options.language or "en"
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=options.task,
+        )
+        self.tokenizer: Tokenizer = tokenizer
+        self.options: DecodingOptions = self._verify_options(options)
+
+        self.n_group: int = options.beam_size or options.best_of or 1
+        self.n_ctx: int = model.dims.n_text_ctx
+        self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
+
+        self.sot_sequence = tokenizer.sot_sequence
+        if self.options.without_timestamps:
+            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
+
+        self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
+        self.sample_begin: int = len(self.initial_tokens)
+        self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
+
+        self.inference = Inference(model, len(self.initial_tokens), self.n_group)
+        self.sequence_ranker = MaximumLikelihoodRanker(options.length_penalty)
+
+        if options.beam_size is not None:
+            self.decoder = BeamSearchDecoder(
+                options.beam_size, tokenizer.eot, self.inference, options.patience
+            )
+        else:
+            self.decoder = GreedyDecoder(options.temperature, tokenizer.eot)
+
+        self.logit_filters: List[LogitFilter] = []
+        if self.options.suppress_blank:
+            self.logit_filters.append(SuppressBlank(self.tokenizer, self.sample_begin))
+        if self.options.suppress_tokens:
+            self.logit_filters.append(SuppressTokens(self._get_suppress_tokens()))
+        if not options.without_timestamps:
+            precision = CHUNK_LENGTH / model.dims.n_audio_ctx  # usually 0.02 s
+            max_initial_timestamp_index = None
+            if options.max_initial_timestamp:
+                max_initial_timestamp_index = round(
+                    self.options.max_initial_timestamp / precision
+                )
+            self.logit_filters.append(
+                ApplyTimestampRules(
+                    tokenizer, self.sample_begin, max_initial_timestamp_index
+                )
+            )
+
+    def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        if options.beam_size is not None and options.best_of is not None:
+            raise ValueError("beam_size and best_of can't be given together")
+        if options.temperature == 0 and options.best_of is not None:
+            raise ValueError("best_of with greedy sampling (T=0) is not compatible")
+        if options.patience is not None and options.beam_size is None:
+            raise ValueError("patience requires beam_size to be given")
+        if options.length_penalty is not None and not (
+            0 <= options.length_penalty <= 1
+        ):
+            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+        return options
+
+    def _get_initial_tokens(self) -> Tuple[int, ...]:
+        tokens = list(self.sot_sequence)
+
+        if prefix := self.options.prefix:
+            prefix_tokens = (
+                self.tokenizer.encode(" " + prefix.strip())
+                if isinstance(prefix, str)
+                else prefix
+            )
+            if self.sample_len is not None:
+                max_prefix_len = self.n_ctx // 2 - self.sample_len
+                prefix_tokens = prefix_tokens[-max_prefix_len:]
+            tokens = tokens + prefix_tokens
+
+        if prompt := self.options.prompt:
+            prompt_tokens = (
+                self.tokenizer.encode(" " + prompt.strip())
+                if isinstance(prompt, str)
+                else prompt
+            )
+            tokens = (
+                [self.tokenizer.sot_prev]
+                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
+                + tokens
+            )
+
+        return tuple(tokens)
+
+    def _get_suppress_tokens(self) -> Tuple[int, ...]:
+        suppress_tokens = self.options.suppress_tokens
+
+        if isinstance(suppress_tokens, str):
+            suppress_tokens = [int(t) for t in suppress_tokens.split(",")]
+
+        if -1 in suppress_tokens:
+            suppress_tokens = [t for t in suppress_tokens if t >= 0]
+            suppress_tokens.extend(self.tokenizer.non_speech_tokens)
+        elif suppress_tokens is None or len(suppress_tokens) == 0:
+            suppress_tokens = []
+        else:
+            assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
+
+        suppress_tokens.extend(
+            [
+                self.tokenizer.transcribe,
+                self.tokenizer.translate,
+                self.tokenizer.sot,
+                self.tokenizer.sot_prev,
+                self.tokenizer.sot_lm,
+            ]
+        )
+        if self.tokenizer.no_speech is not None:
+            suppress_tokens.append(self.tokenizer.no_speech)
+
+        return tuple(sorted(set(suppress_tokens)))
+
+    def _get_audio_features(self, mel):
+        mel = np.asarray(mel)
+        if mel.shape[-2:] == (
+            self.model.dims.n_audio_ctx,
+            self.model.dims.n_audio_state,
+        ):
+            return jnp.asarray(mel)  # already encoded
+        return self.model.encode(mel)
+
+    def _detect_language(self, audio_features, tokens: np.ndarray):
+        languages = [self.options.language] * audio_features.shape[0]
+        lang_probs = None
+
+        if self.options.language is None or self.options.task == "lang_id":
+            lang_tokens, lang_probs = detect_language(
+                self.model, audio_features, self.tokenizer
+            )
+            if isinstance(lang_probs, dict):
+                lang_probs = [lang_probs]
+                lang_tokens = np.array([lang_tokens])
+            languages = [max(probs, key=probs.get) for probs in lang_probs]
+            if self.options.language is None:
+                tokens[:, self.sot_index + 1] = lang_tokens
+
+        return languages, lang_probs
+
+    def _main_loop(self, audio_features, tokens: np.ndarray):
+        n_batch = tokens.shape[0]
+        sum_logprobs = np.zeros(n_batch, dtype=np.float64)
+        no_speech_probs = [np.nan] * n_batch
+
+        try:
+            for i in range(self.sample_len):
+                logits = self.inference.logits(tokens)
+
+                if i == 0 and self.tokenizer.no_speech is not None:
+                    sot_logits = self.inference.logits_at(self.sot_index)
+                    probs_at_sot = np.exp(_log_softmax(sot_logits))
+                    no_speech_probs = probs_at_sot[
+                        :, self.tokenizer.no_speech
+                    ].tolist()
+
+                for logit_filter in self.logit_filters:
+                    logit_filter.apply(logits, tokens)
+
+                tokens, completed = self.decoder.update(tokens, logits, sum_logprobs)
+
+                if completed or tokens.shape[-1] > self.n_ctx:
+                    break
+        finally:
+            self.inference.cleanup_caching()
+
+        return tokens, sum_logprobs, no_speech_probs
+
+    def run(self, mel) -> List[DecodingResult]:
+        self.decoder.reset()
+        tokenizer = self.tokenizer
+        mel = np.asarray(mel)
+        n_audio = mel.shape[0]
+
+        audio_features = self._get_audio_features(mel)
+        tokens = np.tile(np.array([self.initial_tokens], dtype=np.int64), (n_audio, 1))
+
+        languages, language_probs = self._detect_language(audio_features, tokens)
+        if self.options.task == "lang_id":
+            return [
+                DecodingResult(
+                    audio_features=features, language=language, language_probs=probs
+                )
+                for features, language, probs in zip(
+                    np.asarray(audio_features), languages, language_probs
+                )
+            ]
+
+        self.inference.set_audio_features(audio_features)
+
+        tokens = np.repeat(tokens, self.n_group, axis=0)
+
+        tokens, sum_logprobs, no_speech_probs = self._main_loop(audio_features, tokens)
+
+        audio_features = np.asarray(audio_features)  # (n_audio, ...)
+        no_speech_probs = no_speech_probs[:: self.n_group]
+        assert audio_features.shape[0] == len(no_speech_probs) == n_audio
+
+        tokens = tokens.reshape(n_audio, self.n_group, -1)
+        sum_logprobs = sum_logprobs.reshape(n_audio, self.n_group)
+
+        tokens, sum_logprobs = self.decoder.finalize(tokens, sum_logprobs)
+        tokens = [
+            [t[self.sample_begin : np.nonzero(t == tokenizer.eot)[0][0]] for t in s]
+            for s in tokens
+        ]
+
+        selected = self.sequence_ranker.rank(tokens, sum_logprobs)
+        tokens: List[List[int]] = [
+            [int(v) for v in t[i]] for i, t in zip(selected, tokens)
+        ]
+        texts: List[str] = [tokenizer.decode(t).strip() for t in tokens]
+
+        sum_logprobs: List[float] = [lp[i] for i, lp in zip(selected, sum_logprobs)]
+        avg_logprobs: List[float] = [
+            lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)
+        ]
+
+        fields = (
+            texts,
+            languages,
+            tokens,
+            list(audio_features),
+            avg_logprobs,
+            no_speech_probs,
+        )
+        if len(set(map(len, fields))) != 1:
+            raise RuntimeError(f"inconsistent result lengths: {list(map(len, fields))}")
+
+        return [
+            DecodingResult(
+                audio_features=features,
+                language=language,
+                tokens=tokens,
+                text=text,
+                avg_logprob=avg_logprob,
+                no_speech_prob=no_speech_prob,
+                temperature=self.options.temperature,
+                compression_ratio=compression_ratio(text),
+            )
+            for text, language, tokens, features, avg_logprob, no_speech_prob in zip(
+                *fields
+            )
+        ]
+
+
+def decode(
+    model: "Whisper",
+    mel,
+    options: Optional[DecodingOptions] = None,
+    **kwargs,
+) -> Union[DecodingResult, List[DecodingResult]]:
+    """Decode 30-second mel window(s): mel (n_mels, 3000) or (B, n_mels, 3000)."""
+    mel = np.asarray(mel)
+    if single := mel.ndim == 2:
+        mel = mel[None]
+
+    options = options or DecodingOptions()
+    if kwargs:
+        options = replace(options, **kwargs)
+
+    result = DecodingTask(model, options).run(mel)
+    return result[0] if single else result

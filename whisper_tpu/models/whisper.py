@@ -140,6 +140,16 @@ class Whisper:
     def kv_to_cache(self, kv, beam: int):
         return graphs.kv_to_cache(kv, beam, self.compute_dtype)
 
+    def kv_to_cache_grouped(self, kv, n_group: int):
+        """kv (L, 2, n_audio, P, d) -> cache (L, 2, n_audio*n_group, 448, d),
+        each audio's prefill K/V broadcast across its sampling group."""
+        kv = jnp.repeat(kv, n_group, axis=2)
+        L, two, B, P, d = kv.shape
+        cache = jnp.zeros((L, 2, B, graphs.CACHE_SLOTS, d), dtype=self.compute_dtype)
+        return jax.lax.dynamic_update_slice(
+            cache, kv.astype(self.compute_dtype), (0, 0, 0, 0, 0)
+        )
+
     # ---- metadata ------------------------------------------------------------
 
     @property
