@@ -1,0 +1,59 @@
+"""Fused on-device decode loop vs the host-loop engine: token-for-token.
+
+The host engine is pinned against the reference (test_decoding.py), so
+fused == host == reference transitively."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.decoding import DecodingOptions, decode
+
+
+@pytest.fixture(scope="module")
+def mel():
+    return (np.random.RandomState(5).randn(80, 3000) * 0.6).astype(np.float32)
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(language="en", temperature=0.0, sample_len=40),
+        dict(language="en", beam_size=2, sample_len=40),
+        dict(language="en", beam_size=5, sample_len=30),
+        dict(language="en", beam_size=3, patience=1.5, sample_len=30),
+        dict(language="en", without_timestamps=True, sample_len=30),
+        dict(language="en", sample_len=30, prompt="hello world test"),
+        dict(language="en", sample_len=25, prefix="the quick"),
+    ],
+    ids=["greedy", "beam2", "beam5", "beam3-patience", "no-ts", "prompt", "prefix"],
+)
+def test_fused_matches_host(tpu_model, mel, kw):
+    tpu_model.use_fused_decode = False
+    host = decode(tpu_model, mel, DecodingOptions(**kw))
+    tpu_model.use_fused_decode = True
+    fused = decode(tpu_model, mel, DecodingOptions(**kw))
+
+    assert fused.tokens == host.tokens
+    assert fused.text == host.text
+    assert abs(fused.avg_logprob - host.avg_logprob) < 1e-4
+    assert abs(fused.no_speech_prob - host.no_speech_prob) < 1e-4
+
+
+def test_fused_transcribe_matches_host(tpu_model, jfk_audio):
+    tpu_model.use_fused_decode = False
+    host = tpu_model.transcribe(jfk_audio, language="en", temperature=0.0, verbose=None)
+    tpu_model.use_fused_decode = True
+    fused = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None
+    )
+    assert fused["text"] == host["text"]
+    assert [s["tokens"] for s in fused["segments"]] == [
+        s["tokens"] for s in host["segments"]
+    ]
+
+
+def test_fused_sampling_terminates(tpu_model, mel):
+    res = decode(
+        tpu_model, mel, DecodingOptions(language="en", temperature=0.7, sample_len=20)
+    )
+    assert 0 < len(res.tokens) <= 20

@@ -1,0 +1,118 @@
+#!/usr/bin/env python
+"""Per-graph latency harness: times encoder / cross-KV / prefill / decode-step
+/ fused-decode individually with synthetic inputs, per model size.
+
+The TPU analog of the reference's native smoke/bench harness
+(/root/reference/coreml/coremlTest.cpp:26-103), which loads all four compiled
+CoreML graphs for a size and runs timed predictions on ones-tensors. Reports
+first-call (compile-inclusive) and steady-state latency per graph.
+
+Usage: python tools/graph_bench.py [--model turbo] [--beam 5] [--trials 10]
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import jax
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), os.pardir, ".jax_cache"),
+)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def time_fn(fn, trials):
+    t0 = time.perf_counter()
+    jax.block_until_ready(fn())
+    first = time.perf_counter() - t0
+    times = []
+    for _ in range(trials):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn())
+        times.append(time.perf_counter() - t0)
+    return first, float(np.median(times))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", default="turbo")
+    ap.add_argument("--beam", type=int, default=5)
+    ap.add_argument("--trials", type=int, default=10)
+    ap.add_argument("--steps", type=int, default=96, help="fused decode steps")
+    args = ap.parse_args()
+
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.models import MODEL_DIMS, Whisper
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    dims = MODEL_DIMS[args.model]
+    model = Whisper(dims, params=None, name=args.model, compute_dtype="bfloat16")
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    engine = FusedEngine(model)
+
+    results = {}
+    mel = jnp.zeros((1, dims.n_mels, 3000), jnp.float32)
+    results["encoder"] = time_fn(lambda: model.encode(mel), args.trials)
+
+    xa = model.encode(mel)
+    results["cross_kv"] = time_fn(lambda: model.cross_kv(xa), args.trials)
+
+    ck, cv = model.cross_kv(xa)
+    tokens = np.array([[tok.sot, tok.sot + 1, tok.transcribe]], dtype=np.int32)
+    results["prefill"] = time_fn(lambda: model.prefill(tokens, 3, ck, cv), args.trials)
+
+    _, kv = model.prefill(tokens, 3, ck, cv)
+    ck_b = jnp.repeat(ck, args.beam, axis=1)
+    cv_b = jnp.repeat(cv, args.beam, axis=1)
+
+    def one_step():
+        cache = model.kv_to_cache(kv, beam=args.beam)
+        return model.decode_step(
+            np.zeros(args.beam, np.int32), 3, cache, np.arange(args.beam), ck_b, cv_b
+        )[0]
+
+    results["decode_step"] = time_fn(one_step, args.trials)
+
+    def fused():
+        return engine.run(
+            [tok.sot, tok.sot + 1, tok.transcribe],
+            ck,
+            cv,
+            sot_index=0,
+            suppress_ids=[tok.eot],
+            blank_ids=[tok.eot],
+            max_initial_ts_index=50,
+            sample_len=args.steps,
+            n_group=args.beam,
+            beam_search=True,
+            max_candidates=args.beam,
+            use_timestamps=True,
+            temperature=0.0,
+            eot=tok.eot,
+            timestamp_begin=tok.timestamp_begin,
+            no_timestamps=tok.no_timestamps,
+            no_speech=tok.no_speech,
+        )[0]
+
+    results[f"fused_decode[{args.steps} steps]"] = time_fn(fused, max(2, args.trials // 2))
+
+    print(f"\nmodel={args.model} beam={args.beam} device={jax.devices()[0]}")
+    print(f"{'graph':<26} {'first(s)':>10} {'steady(ms)':>12}")
+    for name, (first, steady) in results.items():
+        print(f"{name:<26} {first:>10.2f} {steady * 1000:>12.2f}")
+    fused_key = f"fused_decode[{args.steps} steps]"
+    per_tok = results[fused_key][1] / args.steps * 1000
+    print(f"{'per-token (fused)':<26} {'':>10} {per_tok:>12.3f}")
+    print(json.dumps({k: {"first_s": round(f, 3), "steady_ms": round(s * 1e3, 3)} for k, (f, s) in results.items()}))
+
+
+if __name__ == "__main__":
+    main()

@@ -110,12 +110,15 @@ def cli():
         warnings.warn("--max_words_per_line has no effect with --max_line_width")
     writer_args = {arg: args.pop(arg) for arg in word_options}
 
+    from . import profiling
+
     for audio_path in args.pop("audio"):
         try:
             start = timer()
             result = model.transcribe(audio_path, temperature=temperature, **args)
             print("---------------------------")
             print(f"transcribe() took {timer() - start: .3f}s")
+            profiling.print_report()
             writer(result, audio_path, **writer_args)
         except Exception:
             traceback.print_exc()

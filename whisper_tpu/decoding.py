@@ -627,8 +627,102 @@ class DecodingTask:
 
         return languages, lang_probs
 
+    def _can_fuse(self, n_audio: int) -> bool:
+        """The fused on-device loop handles the single-window case (which is
+        what transcribe() issues); batched multi-audio decode and lang_id use
+        the host loop."""
+        return (
+            n_audio == 1
+            and getattr(self.model, "use_fused_decode", True)
+            and len(self.initial_tokens) <= 256
+        )
+
+    def _main_loop_fused(self, tokens: np.ndarray):
+        """Run the whole sampling loop as one on-device program
+        (engine_fused.fused_decode), then convert results to the host-loop's
+        output contract. For beam search, the device finished-sequence buffer
+        is poured into BeamSearchDecoder.finished_sequences so finalize() and
+        ranking behave identically."""
+        from .engine_fused import FusedEngine
+
+        if getattr(self.model, "_fused_engine", None) is None:
+            self.model._fused_engine = FusedEngine(self.model)
+        engine: FusedEngine = self.model._fused_engine
+
+        tokenizer = self.tokenizer
+        beam_search = self.options.beam_size is not None
+        suppress_ids = []
+        blank_ids = []
+        for f in self.logit_filters:
+            if isinstance(f, SuppressTokens):
+                suppress_ids = f.suppress_tokens
+            elif isinstance(f, SuppressBlank):
+                blank_ids = f.suppress
+        use_timestamps = any(
+            isinstance(f, ApplyTimestampRules) for f in self.logit_filters
+        )
+        max_initial = None
+        for f in self.logit_filters:
+            if isinstance(f, ApplyTimestampRules):
+                max_initial = f.max_initial_timestamp_index
+
+        (
+            out_tokens,
+            n_tokens,
+            sum_logprobs,
+            no_speech_prob,
+            ftok,
+            fscore,
+            flen,
+            fcount,
+        ) = engine.run(
+            # tokens[0] rather than self.initial_tokens: language detection
+            # may have overwritten the language token slot
+            [int(t) for t in tokens[0]],
+            self.inference.ck,
+            self.inference.cv,
+            sot_index=self.sot_index,
+            suppress_ids=suppress_ids,
+            blank_ids=blank_ids,
+            max_initial_ts_index=max_initial if use_timestamps else None,
+            sample_len=self.sample_len,
+            n_group=self.n_group,
+            beam_search=beam_search,
+            max_candidates=(
+                self.decoder.max_candidates if beam_search else 0
+            ),
+            use_timestamps=use_timestamps,
+            temperature=self.options.temperature,
+            eot=tokenizer.eot,
+            timestamp_begin=tokenizer.timestamp_begin,
+            no_timestamps=tokenizer.no_timestamps,
+            no_speech=tokenizer.no_speech if tokenizer.no_speech else 0,
+            rng_seed=np.random.randint(0, 2**31 - 1),
+        )
+
+        n = int(n_tokens)
+        tokens = out_tokens[:, :n].astype(np.int64)
+        sum_logprobs = sum_logprobs.astype(np.float64)
+        no_speech = (
+            float(no_speech_prob) if tokenizer.no_speech is not None else np.nan
+        )
+        no_speech_probs = [no_speech] * self.n_group
+
+        if beam_search:
+            finished = {}
+            for i in range(int(fcount)):
+                seq = tuple(int(t) for t in ftok[i, : int(flen[i])])
+                finished[seq] = float(fscore[i])
+            self.decoder.finished_sequences = [finished]
+
+        return tokens, sum_logprobs, no_speech_probs
+
     def _main_loop(self, audio_features, tokens: np.ndarray):
         n_batch = tokens.shape[0]
+
+        if self._can_fuse(n_batch // self.n_group):
+            return self._main_loop_fused(tokens)
+
         sum_logprobs = np.zeros(n_batch, dtype=np.float64)
         no_speech_probs = [np.nan] * n_batch
 

@@ -1,0 +1,462 @@
+"""Fused on-device decoding loop.
+
+The reference's hot loop crosses Python<->native<->accelerator boundaries on
+every token (decoding.py:707-737 -> coreml.py -> coreml.mm). The host-loop
+engine in decoding.py reproduces that split; this module is the TPU-first
+replacement: ONE jitted function per (model, n_group, mode) that runs
+
+    prefill -> lax.while_loop[ decode_step -> logit filters -> greedy/beam
+               update -> KV-cache reorder -> finished bookkeeping ]
+
+entirely on device. Per-token cost drops to a single XLA step with no host
+synchronization; only the final token block and scores are transferred.
+
+Fidelity: the filters and the beam bookkeeping replicate
+whisper/decoding.py exactly (same candidate ordering, dict-insertion
+tie-breaking via flat top-k index order, patience-capped finished set,
+the sorted-walk cutoff that drops EOT candidates ranked below the
+beam_size-th live candidate, and the step-0 all-beams-identical dedup).
+tests/test_fused.py pins token-for-token agreement with the host engine —
+which itself is pinned token-for-token against the reference.
+"""
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import graphs
+
+NEG_INF = -jnp.inf
+
+
+class FusedConfig(NamedTuple):
+    """Static configuration (part of the jit cache key)."""
+
+    n_group: int
+    beam_search: bool  # False -> greedy/sampling
+    use_timestamps: bool
+    max_candidates: int  # round(beam * patience); 0 for greedy
+    eot: int
+    timestamp_begin: int
+    no_timestamps: int
+    no_speech: int
+    sot_index_is_dynamic: bool = True
+
+
+class FusedState(NamedTuple):
+    step: jnp.ndarray  # i32 — sampling step
+    n_tokens: jnp.ndarray  # i32 — current sequence length
+    tokens: jnp.ndarray  # (G, 448) i32
+    cache: jnp.ndarray  # (L, 2, G, 448, d)
+    src: jnp.ndarray  # (G,) i32 — pending beam reorder
+    sum_logprobs: jnp.ndarray  # (G,) f32
+    completed: jnp.ndarray  # bool
+    finished_tokens: jnp.ndarray  # (max_cand, 449) i32
+    finished_scores: jnp.ndarray  # (max_cand,) f32
+    finished_lengths: jnp.ndarray  # (max_cand,) i32
+    finished_count: jnp.ndarray  # i32
+    rng: jnp.ndarray  # PRNG key (greedy sampling)
+
+
+def _apply_filters(
+    logits,
+    tokens,
+    n_tokens,
+    sample_begin,
+    suppress_mask,
+    blank_suppress_mask,
+    max_initial_ts_index,
+    cfg: FusedConfig,
+):
+    """Vectorized equivalents of SuppressBlank / SuppressTokens /
+    ApplyTimestampRules (decoding.py:450-532). logits: (G, V) f32."""
+    G, V = logits.shape
+    vocab_ids = jnp.arange(V)
+
+    # SuppressBlank: only at the very first sampling position
+    at_begin = n_tokens == sample_begin
+    logits = jnp.where(at_begin & blank_suppress_mask[None, :], NEG_INF, logits)
+
+    # SuppressTokens: static suppression list
+    logits = jnp.where(suppress_mask[None, :], NEG_INF, logits)
+
+    if not cfg.use_timestamps:
+        return logits
+
+    ts_begin = cfg.timestamp_begin
+
+    # suppress <|notimestamps|>
+    logits = logits.at[:, cfg.no_timestamps].set(NEG_INF)
+
+    pos = jnp.arange(tokens.shape[1])
+    sampled = (pos >= sample_begin) & (pos < n_tokens)  # (448,)
+    seq_len = n_tokens - sample_begin
+
+    last_tok = tokens[:, jnp.maximum(n_tokens - 1, 0)]
+    penult_tok = tokens[:, jnp.maximum(n_tokens - 2, 0)]
+    last_was_ts = (seq_len >= 1) & (last_tok >= ts_begin)
+    penult_was_ts = (seq_len < 2) | (penult_tok >= ts_begin)
+
+    # timestamps come in pairs (except directly before EOT)
+    force_non_ts = last_was_ts & penult_was_ts  # (G,)
+    force_ts_or_eot = last_was_ts & ~penult_was_ts
+    logits = jnp.where(
+        force_non_ts[:, None] & (vocab_ids >= ts_begin)[None, :], NEG_INF, logits
+    )
+    logits = jnp.where(
+        force_ts_or_eot[:, None] & (vocab_ids < cfg.eot)[None, :], NEG_INF, logits
+    )
+
+    # timestamps are non-decreasing -> the largest sampled timestamp is the
+    # most recent one
+    is_ts = sampled[None, :] & (tokens >= ts_begin)  # (G, 448)
+    has_ts = is_ts.any(axis=1)
+    last_ts = jnp.max(jnp.where(is_ts, tokens, -1), axis=1)  # (G,)
+    ts_floor = jnp.where(force_ts_or_eot, last_ts, last_ts + 1)
+    logits = jnp.where(
+        (has_ts[:, None])
+        & (vocab_ids >= ts_begin)[None, :]
+        & (vocab_ids < ts_floor[:, None]),
+        NEG_INF,
+        logits,
+    )
+
+    # the sample must start with a timestamp, bounded by max_initial_timestamp
+    initial_mask = (vocab_ids < ts_begin)[None, :] | (
+        vocab_ids > (ts_begin + max_initial_ts_index)
+    )[None, :]
+    logits = jnp.where(at_begin & initial_mask, NEG_INF, logits)
+
+    # if the total timestamp probability mass beats every text token, only
+    # timestamps may be sampled
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    ts_mass = jax.nn.logsumexp(
+        jnp.where((vocab_ids >= ts_begin)[None, :], logprobs, NEG_INF), axis=-1
+    )
+    max_text = jnp.max(
+        jnp.where((vocab_ids < ts_begin)[None, :], logprobs, NEG_INF), axis=-1
+    )
+    logits = jnp.where(
+        (ts_mass > max_text)[:, None] & (vocab_ids < ts_begin)[None, :],
+        NEG_INF,
+        logits,
+    )
+    return logits
+
+
+def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
+    G = cfg.n_group
+    # temperature is a traced scalar: compute both argmax and a sample and
+    # select, so one compiled graph serves the whole fallback ladder
+    rng, sub = jax.random.split(state.rng)
+    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    sampled_tokens = jax.random.categorical(
+        sub, logits / jnp.maximum(temperature, 1e-6)
+    ).astype(jnp.int32)
+    next_tokens = jnp.where(temperature == 0, greedy_tokens, sampled_tokens)
+
+    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    current = logprobs[jnp.arange(G), next_tokens]
+    last = state.tokens[:, state.n_tokens - 1]
+    already_done = last == cfg.eot  # reference: tokens[:, -1] == eot
+    sum_logprobs = state.sum_logprobs + jnp.where(already_done, 0.0, current)
+    next_tokens = jnp.where(already_done, cfg.eot, next_tokens)
+
+    tokens = jax.lax.dynamic_update_slice(
+        state.tokens, next_tokens[:, None], (0, state.n_tokens)
+    )
+    completed = jnp.all(next_tokens == cfg.eot)
+    return state._replace(
+        tokens=tokens,
+        n_tokens=state.n_tokens + 1,
+        sum_logprobs=sum_logprobs,
+        completed=completed,
+        src=jnp.arange(G, dtype=jnp.int32),
+        rng=rng,
+    )
+
+
+def _beam_update(logits, state: FusedState, cfg: FusedConfig):
+    """One BeamSearchDecoder.update (decoding.py:350-409) on device."""
+    G = cfg.n_group
+    K = G + 1  # candidates per beam
+    logprobs = jax.nn.log_softmax(logits, axis=-1)  # (G, V) f32
+
+    # per-beam top-(G+1): ties at lower token index first (torch.topk order)
+    top_lp, top_tok = jax.lax.top_k(logprobs, K)  # (G, K)
+    cand_scores = state.sum_logprobs[:, None] + top_lp  # (G, K)
+
+    # step 0: all beams are identical; the reference's dict keyed on the full
+    # sequence collapses duplicates, leaving exactly beam 0's candidates
+    is_first = state.step == 0
+    cand_scores = jnp.where(
+        is_first & (jnp.arange(G)[:, None] > 0), NEG_INF, cand_scores
+    )
+
+    # global ranking: flat top-k index order == (beam-major, then per-beam
+    # rank) == the reference's dict insertion order on score ties
+    flat_scores = cand_scores.reshape(-1)  # (G*K,)
+    flat_tokens = top_tok.reshape(-1)
+    order_scores, order_idx = jax.lax.top_k(flat_scores, G * K)  # sorted desc
+    order_tokens = flat_tokens[order_idx]
+    order_src = (order_idx // K).astype(jnp.int32)
+
+    is_eot = order_tokens == cfg.eot
+    live_rank = jnp.cumsum(~is_eot) - 1  # rank among non-EOT, valid where ~is_eot
+    # the sorted walk stops once beam_size live candidates are saved: an EOT
+    # candidate is collected only if fewer than beam_size live ones precede it
+    live_before = jnp.cumsum(jnp.concatenate([jnp.zeros(1, jnp.int32), (~is_eot).astype(jnp.int32)[:-1]]))
+    eot_collected = is_eot & (live_before < G)
+
+    # select the first G live candidates
+    select_pos = jnp.where(~is_eot, live_rank, G * K)  # live candidates' slots
+    # slot_source[b] = index into order_* arrays for new beam b
+    slot_source = jnp.argmax(select_pos[None, :] == jnp.arange(G)[:, None], axis=1)
+
+    new_scores = order_scores[slot_source]  # (G,)
+    new_tokens = order_tokens[slot_source].astype(jnp.int32)
+    new_src = order_src[slot_source]  # beam reorder for cache/tokens
+
+    tokens = state.tokens[new_src]
+    tokens = jax.lax.dynamic_update_slice(tokens, new_tokens[:, None], (0, state.n_tokens))
+
+    # fold newly finished sequences into the patience-capped buffer in rank
+    # order while capacity remains — one vectorized scatter over the (G*K)
+    # candidate slots (order is preserved because slots are assigned by
+    # cumulative count)
+    n_cand = G * K
+    prior_collected = jnp.cumsum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32), eot_collected.astype(jnp.int32)[:-1]])
+    )
+    slot = state.finished_count + prior_collected  # (n_cand,)
+    take = eot_collected & (slot < cfg.max_candidates)
+    write_row = jnp.where(take, slot, cfg.max_candidates)  # max_candidates = dropped
+
+    seqs = state.tokens[order_src]  # (n_cand, 448) prefixes before this step
+    seqs = jnp.pad(seqs, ((0, 0), (0, 1)))  # (n_cand, 449)
+    eot_col = jnp.broadcast_to(jnp.int32(cfg.eot), (n_cand, 1))
+    seqs = jax.lax.dynamic_update_slice(seqs, eot_col, (0, state.n_tokens))
+
+    ftok = state.finished_tokens.at[write_row].set(seqs, mode="drop")
+    fscore = state.finished_scores.at[write_row].set(order_scores, mode="drop")
+    flen = state.finished_lengths.at[write_row].set(
+        jnp.broadcast_to(state.n_tokens + 1, (n_cand,)), mode="drop"
+    )
+    fcount = state.finished_count + jnp.sum(take.astype(jnp.int32))
+
+    completed = fcount >= cfg.max_candidates
+    return state._replace(
+        tokens=tokens,
+        n_tokens=state.n_tokens + 1,
+        sum_logprobs=new_scores,
+        completed=completed,
+        src=new_src,
+        finished_tokens=ftok,
+        finished_scores=fscore,
+        finished_lengths=flen,
+        finished_count=fcount,
+    )
+
+
+def fused_decode(
+    dec_params,
+    initial_tokens,  # (448,) i32, padded; first `sample_begin` entries valid
+    sample_begin,  # i32 scalar
+    ck,
+    cv,  # (L, 1, H, 1500, dh)
+    sot_index,  # i32 scalar (for the no-speech probability)
+    suppress_mask,  # (V,) bool
+    blank_suppress_mask,  # (V,) bool
+    max_initial_ts_index,  # i32 scalar
+    sample_len,  # i32 scalar — max tokens to sample
+    temperature,  # f32 scalar (greedy mode only)
+    rng_seed,  # i32 scalar
+    *,
+    n_head: int,
+    cfg: FusedConfig,
+    cache_dtype,
+):
+    """Returns (tokens (G, 448), n_tokens, sum_logprobs (G,), no_speech_prob,
+    finished_tokens, finished_scores, finished_lengths, finished_count)."""
+    G = cfg.n_group
+    n_ctx = graphs.CACHE_SLOTS
+    d = dec_params["tok_emb"].shape[1]
+    L = dec_params["blocks"]["attn_q_w"].shape[0]
+
+    # ---- prefill (once; beams are identical before sampling) ----
+    prefill_tokens = initial_tokens[None, : graphs.PREFILL_LEN]
+    hidden, kv = graphs.prefill(
+        dec_params, prefill_tokens, sample_begin, ck, cv, n_head=n_head
+    )
+    cache = jnp.zeros((L, 2, G, n_ctx, d), dtype=cache_dtype)
+    kv_b = jnp.broadcast_to(
+        kv.astype(cache_dtype), (L, 2, G, graphs.PREFILL_LEN, d)
+    )
+    cache = jax.lax.dynamic_update_slice(cache, kv_b, (0, 0, 0, 0, 0))
+
+    last_hidden = hidden[0, sample_begin - 1]  # (d,)
+    sot_hidden = hidden[0, sot_index]
+    first_logits = graphs.hidden_to_logits(dec_params, last_hidden)  # (V,)
+    sot_logits = graphs.hidden_to_logits(dec_params, sot_hidden)
+    no_speech_prob = jax.nn.softmax(sot_logits)[cfg.no_speech]
+
+    ck_g = jnp.broadcast_to(ck, (ck.shape[0], G) + ck.shape[2:]) if G > 1 else ck
+    cv_g = jnp.broadcast_to(cv, (cv.shape[0], G) + cv.shape[2:]) if G > 1 else cv
+
+    tokens0 = jnp.broadcast_to(initial_tokens[None, :], (G, n_ctx)).astype(jnp.int32)
+
+    max_cand = max(cfg.max_candidates, 1)
+    state = FusedState(
+        step=jnp.int32(0),
+        n_tokens=sample_begin,
+        tokens=tokens0,
+        cache=cache,
+        src=jnp.arange(G, dtype=jnp.int32),
+        sum_logprobs=jnp.zeros((G,), jnp.float32),
+        completed=jnp.bool_(False),
+        finished_tokens=jnp.zeros((max_cand, n_ctx + 1), jnp.int32),
+        finished_scores=jnp.full((max_cand,), -jnp.inf, jnp.float32),
+        finished_lengths=jnp.zeros((max_cand,), jnp.int32),
+        finished_count=jnp.int32(0),
+        rng=jax.random.PRNGKey(rng_seed),
+    )
+
+    def apply_update(logits_f32, st):
+        filtered = _apply_filters(
+            logits_f32,
+            st.tokens,
+            st.n_tokens,
+            sample_begin,
+            suppress_mask,
+            blank_suppress_mask,
+            max_initial_ts_index,
+            cfg,
+        )
+        if cfg.beam_search:
+            return _beam_update(filtered, st, cfg)
+        return _greedy_update(filtered, st, temperature, cfg)
+
+    # step 0 uses the prefill's last-position logits
+    state = apply_update(jnp.broadcast_to(first_logits[None, :], (G,) + first_logits.shape), state)
+    state = state._replace(step=jnp.int32(1))
+
+    def cond(st: FusedState):
+        return (~st.completed) & (st.step < sample_len) & (st.n_tokens < n_ctx)
+
+    def body(st: FusedState):
+        step_toks = st.tokens[jnp.arange(G), st.n_tokens - 1]
+        logits, cache = graphs.decode_step(
+            dec_params,
+            step_toks,
+            st.n_tokens - 1,
+            st.cache,
+            st.src,
+            ck_g,
+            cv_g,
+            n_head=n_head,
+        )
+        st = st._replace(cache=cache, src=jnp.arange(G, dtype=jnp.int32))
+        st = apply_update(logits, st)
+        return st._replace(step=st.step + 1)
+
+    state = jax.lax.while_loop(cond, body, state)
+
+    return (
+        state.tokens,
+        state.n_tokens,
+        state.sum_logprobs,
+        no_speech_prob,
+        state.finished_tokens,
+        state.finished_scores,
+        state.finished_lengths,
+        state.finished_count,
+    )
+
+
+class FusedEngine:
+    """Caches one jitted fused_decode per (n_group, mode) for a model."""
+
+    def __init__(self, model):
+        self.model = model
+        self._jitted = {}
+
+    def _get(self, cfg: FusedConfig):
+        key = cfg
+        if key not in self._jitted:
+            self._jitted[key] = jax.jit(
+                partial(
+                    fused_decode,
+                    n_head=self.model.dims.n_text_head,
+                    cfg=cfg,
+                    cache_dtype=self.model.compute_dtype,
+                )
+            )
+        return self._jitted[key]
+
+    def run(
+        self,
+        initial_tokens,
+        ck,
+        cv,
+        *,
+        sot_index: int,
+        suppress_ids,
+        blank_ids,
+        max_initial_ts_index: Optional[int],
+        sample_len: int,
+        n_group: int,
+        beam_search: bool,
+        max_candidates: int,
+        use_timestamps: bool,
+        temperature: float,
+        eot: int,
+        timestamp_begin: int,
+        no_timestamps: int,
+        no_speech: int,
+        rng_seed: int = 0,
+    ):
+        V = self.model.dims.n_vocab
+        n_ctx = graphs.CACHE_SLOTS
+        cfg = FusedConfig(
+            n_group=n_group,
+            beam_search=beam_search,
+            use_timestamps=use_timestamps,
+            max_candidates=max_candidates if beam_search else 0,
+            eot=eot,
+            timestamp_begin=timestamp_begin,
+            no_timestamps=no_timestamps,
+            no_speech=no_speech,
+        )
+        fn = self._get(cfg)
+
+        toks = np.zeros(n_ctx, dtype=np.int32)
+        toks[: len(initial_tokens)] = initial_tokens
+        suppress_mask = np.zeros(V, dtype=bool)
+        suppress_mask[list(suppress_ids)] = True
+        blank_mask = np.zeros(V, dtype=bool)
+        blank_mask[list(blank_ids)] = True
+
+        from . import profiling
+
+        with profiling.timed("fused_decode"):
+            out = fn(
+                self.model.params["decoder"],
+                jnp.asarray(toks),
+                jnp.int32(len(initial_tokens)),
+                ck,
+                cv,
+                jnp.int32(sot_index),
+                jnp.asarray(suppress_mask),
+                jnp.asarray(blank_mask),
+                jnp.int32(
+                    max_initial_ts_index if max_initial_ts_index is not None else n_ctx
+                ),
+                jnp.int32(sample_len),
+                jnp.float32(temperature),
+                jnp.int32(rng_seed),
+            )
+            out = jax.tree.map(np.asarray, out)
+        return out

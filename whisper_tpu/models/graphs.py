@@ -247,6 +247,34 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
     return x, jnp.stack(kv), jnp.stack(align)
 
 
+def decoder_forward(dec, tokens, ck, cv, *, n_head):
+    """Teacher-forced decoder pass over full sequences (no KV cache) — the
+    training/fine-tuning forward. tokens: (B, T) int32; ck/cv: (L, B or 1, H,
+    Tk, dh). Returns logits (B, T, V) float32."""
+    blocks = dec["blocks"]
+    dtype = blocks["attn_q_w"].dtype
+    B, T = tokens.shape
+
+    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:T].astype(dtype)
+    mask = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
+
+    def block(x, inputs):
+        blk, ck_l, cv_l = inputs
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
+        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
+        k = h @ blk["attn_k_w"]
+        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
+        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+        attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
+        x = x + attn
+        x = x + _mlp(x, blk)
+        return x, None
+
+    x, _ = jax.lax.scan(block, x, (blocks, ck, cv))
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
+    return hidden_to_logits(dec, x)
+
+
 def hidden_to_logits(dec, hidden):
     """hidden (..., d) -> logits (..., n_vocab) in float32."""
     return jnp.einsum(

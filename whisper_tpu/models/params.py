@@ -34,22 +34,11 @@ def _stack(arrays):
     return np.stack([np.asarray(a, dtype=np.float32) for a in arrays])
 
 
-def init_random_params(dims: ModelDimensions, seed: int = 0) -> Dict:
-    """Random parameters with GPT-style scaling; useful for benchmarks,
-    compile checks, and numerics tests when no checkpoint is available."""
-    rng = np.random.RandomState(seed)
+def _build_param_tree(dims: ModelDimensions, w, zeros, ones, pos_emb) -> Dict:
+    """Construct the parameter pytree from array factories: w(*shape) random
+    weight, zeros/ones(*shape), pos_emb() the encoder sinusoids."""
     d = dims.n_audio_state
     dt = dims.n_text_state
-
-    def w(*shape, scale=0.02):
-        return rng.normal(0.0, scale, size=shape).astype(np.float32)
-
-    def zeros(*shape):
-        return np.zeros(shape, dtype=np.float32)
-
-    def ones(*shape):
-        return np.ones(shape, dtype=np.float32)
-
     La, Lt = dims.n_audio_layer, dims.n_text_layer
 
     def attn_block(n_layers, width, cross=False):
@@ -92,7 +81,7 @@ def init_random_params(dims: ModelDimensions, seed: int = 0) -> Dict:
             "conv1_b": zeros(d),
             "conv2_w": w(d, d, 3),
             "conv2_b": zeros(d),
-            "pos_emb": sinusoid_position_embedding(dims.n_audio_ctx, d),
+            "pos_emb": pos_emb(),
             "blocks": attn_block(La, d),
             "ln_post_g": ones(d),
             "ln_post_b": zeros(d),
@@ -105,6 +94,63 @@ def init_random_params(dims: ModelDimensions, seed: int = 0) -> Dict:
             "ln_b": zeros(dt),
         },
     }
+
+
+def init_random_params(dims: ModelDimensions, seed: int = 0) -> Dict:
+    """Random host (numpy) parameters with GPT-style scaling; used by tests
+    and small-model experiments when no checkpoint is available."""
+    rng = np.random.RandomState(seed)
+
+    def w(*shape):
+        return rng.normal(0.0, 0.02, size=shape).astype(np.float32)
+
+    def zeros(*shape):
+        return np.zeros(shape, dtype=np.float32)
+
+    def ones(*shape):
+        return np.ones(shape, dtype=np.float32)
+
+    def pos_emb():
+        return sinusoid_position_embedding(dims.n_audio_ctx, dims.n_audio_state)
+
+    return _build_param_tree(dims, w, zeros, ones, pos_emb)
+
+
+def init_random_params_device(dims: ModelDimensions, seed: int = 0, dtype="bfloat16") -> Dict:
+    """Random parameters generated ON DEVICE inside one jit, avoiding the
+    multi-GB host->device weight transfer host-side init would need (the TPU
+    here sits behind a network tunnel). Used by benchmarks and compile checks
+    at turbo/large scale."""
+    import jax
+    import jax.numpy as jnp
+
+    dtype = jnp.dtype(dtype)
+
+    @jax.jit
+    def build():
+        counter = [0]
+        key = jax.random.PRNGKey(seed)
+
+        def w(*shape):
+            counter[0] += 1
+            k = jax.random.fold_in(key, counter[0])
+            return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
+
+        def zeros(*shape):
+            return jnp.zeros(shape, dtype=dtype)
+
+        def ones(*shape):
+            return jnp.ones(shape, dtype=dtype)
+
+        def pos_emb():
+            return jnp.asarray(
+                sinusoid_position_embedding(dims.n_audio_ctx, dims.n_audio_state),
+                dtype=dtype,
+            )
+
+        return _build_param_tree(dims, w, zeros, ones, pos_emb)
+
+    return build()
 
 
 def params_from_torch_state_dict(state_dict, dims: ModelDimensions) -> Dict:

@@ -18,9 +18,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .. import profiling
 from . import graphs
 from .dims import ModelDimensions
-from .params import init_random_params
+from .params import init_random_params_device
 
 _LN_KEYS = ("ln_g", "ln_b")
 
@@ -55,7 +56,8 @@ class Whisper:
         self.name = name
         self.compute_dtype = jnp.dtype(compute_dtype)
         if params is None:
-            params = init_random_params(dims)
+            # generated directly on device: no multi-GB host->TPU transfer
+            params = init_random_params_device(dims, dtype=self.compute_dtype)
         self.params = cast_params(params, self.compute_dtype)
 
         # default alignment heads: all heads of the upper half of layers
@@ -82,10 +84,16 @@ class Whisper:
 
     def encode(self, mel) -> jax.Array:
         """mel: (B, n_mels, 3000) -> audio features (B, 1500, d)."""
-        return self._encode(self.params["encoder"], jnp.asarray(mel))
+        with profiling.timed("encoder"):
+            out = self._encode(self.params["encoder"], jnp.asarray(mel))
+            out.block_until_ready()
+        return out
 
     def cross_kv(self, xa) -> Tuple[jax.Array, jax.Array]:
-        return self._cross_kv(self.params["decoder"], xa)
+        with profiling.timed("cross_kv"):
+            ck, cv = self._cross_kv(self.params["decoder"], xa)
+            cv.block_until_ready()
+        return ck, cv
 
     def prefill(self, tokens, n_valid, ck, cv):
         """tokens: (B, n) int32 -> (hidden (B, 256, d), kv (L, 2, B, 256, d)).
@@ -98,7 +106,12 @@ class Whisper:
             )
         padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
         padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
-        return self._prefill(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
+        with profiling.timed("prefill"):
+            hidden, kv = self._prefill(
+                self.params["decoder"], padded, jnp.int32(n_valid), ck, cv
+            )
+            kv.block_until_ready()
+        return hidden, kv
 
     def prefill_align(self, tokens, n_valid, ck, cv):
         """Prefill that also returns alignment-head cross-attention scores."""
@@ -119,15 +132,18 @@ class Whisper:
         return fn(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
 
     def decode_step(self, tokens, pos, cache, src, ck, cv):
-        return self._decode_step(
-            self.params["decoder"],
-            jnp.asarray(tokens, dtype=jnp.int32),
-            jnp.int32(pos),
-            cache,
-            jnp.asarray(src, dtype=jnp.int32),
-            ck,
-            cv,
-        )
+        with profiling.timed("decode_step"):
+            logits, cache = self._decode_step(
+                self.params["decoder"],
+                jnp.asarray(tokens, dtype=jnp.int32),
+                jnp.int32(pos),
+                cache,
+                jnp.asarray(src, dtype=jnp.int32),
+                ck,
+                cv,
+            )
+            logits.block_until_ready()
+        return logits, cache
 
     def hidden_to_logits(self, hidden):
         return self._logits(self.params["decoder"], hidden)
