@@ -1,0 +1,39 @@
+"""Multi-stream batched transcription: per-stream results must match
+sequential transcribe() for the supported option subset."""
+
+import numpy as np
+
+from whisper_tpu.batch import transcribe_batch
+
+
+def test_batch_matches_sequential(tpu_model, jfk_audio):
+    # two different streams: jfk and a shifted copy
+    a1 = jfk_audio
+    a2 = jfk_audio[16000 * 2 :]
+
+    batch = transcribe_batch(
+        tpu_model,
+        [a1, a2],
+        language="en",
+        temperature=0.0,
+        condition_on_previous_text=True,
+    )
+
+    singles = [
+        tpu_model.transcribe(a, language="en", temperature=0.0, verbose=None)
+        for a in (a1, a2)
+    ]
+
+    assert len(batch) == 2
+    for b, s in zip(batch, singles):
+        assert b["text"] == s["text"]
+        assert [seg["tokens"] for seg in b["segments"]] == [
+            seg["tokens"] for seg in s["segments"]
+        ]
+        assert b["language"] == "en"
+
+
+def test_batch_single_stream(tpu_model, jfk_audio):
+    [res] = transcribe_batch(tpu_model, [jfk_audio], language="en", temperature=0.0)
+    ref = tpu_model.transcribe(jfk_audio, language="en", temperature=0.0, verbose=None)
+    assert res["text"] == ref["text"]

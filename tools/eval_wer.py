@@ -1,0 +1,97 @@
+#!/usr/bin/env python
+"""WER evaluation utility.
+
+The reference evaluates WER in a notebook with jiwer + its English normalizer
+(/root/reference/notebooks/LibriSpeech.ipynb). This is the equivalent as a
+CLI tool with a self-contained Levenshtein WER (no jiwer dependency):
+
+  python tools/eval_wer.py --ref ref.txt --hyp hyp.txt [--language en]
+  python tools/eval_wer.py --ref-dir refs/ --audio-dir wavs/ --model tiny.en
+
+In the second form each refs/<name>.txt is compared against the
+transcription of <audio-dir>/<name>.*.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+import numpy as np
+
+
+def word_error_rate(ref_words, hyp_words) -> float:
+    """Levenshtein distance over words / reference length."""
+    n, m = len(ref_words), len(hyp_words)
+    if n == 0:
+        return float(m > 0)
+    prev = np.arange(m + 1)
+    for i in range(1, n + 1):
+        cur = np.empty(m + 1, dtype=np.int64)
+        cur[0] = i
+        for j in range(1, m + 1):
+            sub = prev[j - 1] + (ref_words[i - 1] != hyp_words[j - 1])
+            cur[j] = min(sub, prev[j] + 1, cur[j - 1] + 1)
+        prev = cur
+    return float(prev[m]) / n
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--ref", help="reference transcript file")
+    ap.add_argument("--hyp", help="hypothesis transcript file")
+    ap.add_argument("--ref-dir", help="directory of <name>.txt references")
+    ap.add_argument("--audio-dir", help="directory of audio files to transcribe")
+    ap.add_argument("--model", default="tiny.en")
+    ap.add_argument("--language", default="en")
+    args = ap.parse_args()
+
+    from whisper_tpu.normalizers import BasicTextNormalizer, EnglishTextNormalizer
+
+    normalizer = (
+        EnglishTextNormalizer() if args.language == "en" else BasicTextNormalizer()
+    )
+
+    pairs = []
+    if args.ref and args.hyp:
+        pairs.append((open(args.ref).read(), open(args.hyp).read()))
+    elif args.ref_dir and args.audio_dir:
+        import whisper_tpu
+
+        model = whisper_tpu.load_model(args.model)
+        for fname in sorted(os.listdir(args.ref_dir)):
+            if not fname.endswith(".txt"):
+                continue
+            stem = fname[:-4]
+            audio = next(
+                (
+                    os.path.join(args.audio_dir, f)
+                    for f in os.listdir(args.audio_dir)
+                    if f.rsplit(".", 1)[0] == stem
+                ),
+                None,
+            )
+            if audio is None:
+                print(f"skipping {stem}: no matching audio", file=sys.stderr)
+                continue
+            result = model.transcribe(audio, language=args.language, verbose=None)
+            pairs.append((open(os.path.join(args.ref_dir, fname)).read(), result["text"]))
+    else:
+        ap.error("provide --ref/--hyp or --ref-dir/--audio-dir")
+
+    total_err, total_words = 0.0, 0
+    for ref, hyp in pairs:
+        r = normalizer(ref).split()
+        h = normalizer(hyp).split()
+        wer = word_error_rate(r, h)
+        total_err += wer * len(r)
+        total_words += len(r)
+        print(f"WER {wer:.4f}  ({len(r)} ref words)")
+
+    if total_words:
+        print(f"\noverall WER: {total_err / total_words:.4f} over {total_words} words")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,240 @@
+"""Multi-stream batched transcription (throughput / serving mode).
+
+The reference processes multiple files strictly sequentially
+(/root/reference/whisper/transcribe.py:626-638) because its compiled CoreML
+graphs are fixed at batch 1 (beam batching aside). On TPU the batch dimension
+is free: this module transcribes N independent audio streams concurrently by
+stepping their 30-second windows in lockstep — one batched encoder pass and
+one batched decoding loop per round serve every active stream, keeping the
+MXU fed (SURVEY.md §2b "batched/multi-stream long-form on one chip").
+
+Semantics per stream match `transcribe()` for the supported option subset
+(greedy or beam, single temperature, no word timestamps). Streams that fail a
+quality gate fall back individually through the temperature ladder without
+dragging the others. For the full option surface (word timestamps,
+clip_timestamps, hallucination heuristics) use `transcribe()` per stream.
+"""
+
+from typing import List, Optional, Tuple, Union
+
+import numpy as np
+
+from .audio import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
+from .decoding import DecodingOptions, DecodingResult, DecodingTask
+from .tokenizer import get_tokenizer
+from .transcribe import segments_from_tokens
+from .utils import exact_div
+
+
+class _Stream:
+    def __init__(self, idx: int, mel: np.ndarray):
+        self.idx = idx
+        self.mel = mel
+        self.content_frames = mel.shape[-1] - N_FRAMES
+        self.seek = 0
+        self.all_tokens: List[int] = []
+        self.all_segments: List[dict] = []
+        self.prompt_reset_since = 0
+
+    @property
+    def done(self) -> bool:
+        # sub-second tails are discarded, as padding them to 30 s causes
+        # hallucinations (reference transcribe.py:292-297)
+        return self.content_frames - self.seek < SAMPLE_RATE // HOP_LENGTH
+
+
+def transcribe_batch(
+    model,
+    audios: List[Union[str, np.ndarray]],
+    *,
+    language: Optional[str] = None,
+    task: str = "transcribe",
+    temperature: Union[float, Tuple[float, ...]] = (0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+    compression_ratio_threshold: Optional[float] = 2.4,
+    logprob_threshold: Optional[float] = -1.0,
+    no_speech_threshold: Optional[float] = 0.6,
+    condition_on_previous_text: bool = True,
+    **decode_options,
+) -> List[dict]:
+    """Transcribe N audio streams concurrently. Returns one result dict per
+    stream (same schema as transcribe())."""
+    if language is None:
+        language = "en" if not model.is_multilingual else None
+    temperatures = (
+        [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+    )
+
+    streams = []
+    for i, audio in enumerate(audios):
+        mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+        streams.append(_Stream(i, mel))
+
+    # language detection on each stream's first window if needed
+    if language is None:
+        langs = []
+        for s in streams:
+            window = pad_or_trim(s.mel[:, :N_FRAMES], N_FRAMES)
+            _, probs = model.detect_language(window.astype(np.float32))
+            langs.append(max(probs, key=probs.get))
+        # heterogeneous languages are allowed; tokenizer is per-stream
+        stream_language = langs
+    else:
+        stream_language = [language] * len(streams)
+
+    input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+    time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
+
+    def decode_batch(mels: np.ndarray, prompts, lang: str, t: float):
+        kwargs = dict(decode_options)
+        if t > 0:
+            kwargs.pop("beam_size", None)
+            kwargs.pop("patience", None)
+        else:
+            kwargs.pop("best_of", None)
+        # prompts differ per stream -> decode per unique prompt group; for
+        # the common serving case (no conditioning or fresh streams) this is
+        # one batched call
+        results: List[Optional[DecodingResult]] = [None] * mels.shape[0]
+        groups = {}
+        for i, p in enumerate(prompts):
+            groups.setdefault(tuple(p), []).append(i)
+        for prompt, idxs in groups.items():
+            opts = DecodingOptions(
+                language=lang, task=task, temperature=t, prompt=list(prompt) or None, **kwargs
+            )
+            task_obj = DecodingTask(model, opts)
+            out = task_obj.run(mels[idxs])
+            for i, r in zip(idxs, out):
+                results[i] = r
+        return results
+
+    while any(not s.done for s in streams):
+        active = [s for s in streams if not s.done]
+
+        # stream windows and per-stream prompts
+        windows, prompts = [], []
+        for s in active:
+            segment_size = min(N_FRAMES, s.content_frames - s.seek)
+            window = pad_or_trim(s.mel[:, s.seek : s.seek + segment_size], N_FRAMES)
+            windows.append(window.astype(np.float32))
+            prompts.append(
+                s.all_tokens[s.prompt_reset_since :]
+                if condition_on_previous_text
+                else []
+            )
+        mels = np.stack(windows)
+
+        # batch by language (usually one group)
+        lang_groups = {}
+        for pos, s in enumerate(active):
+            lang_groups.setdefault(stream_language[s.idx], []).append(pos)
+
+        results: List[Optional[DecodingResult]] = [None] * len(active)
+        for lang, positions in lang_groups.items():
+            sub_results = decode_batch(
+                mels[positions], [prompts[p] for p in positions], lang, temperatures[0]
+            )
+            # per-stream temperature fallback for failed windows only
+            for slot, r in zip(positions, sub_results):
+                for t in temperatures[1:]:
+                    needs_fallback = (
+                        compression_ratio_threshold is not None
+                        and r.compression_ratio > compression_ratio_threshold
+                    ) or (
+                        logprob_threshold is not None
+                        and r.avg_logprob < logprob_threshold
+                    )
+                    if (
+                        no_speech_threshold is not None
+                        and r.no_speech_prob > no_speech_threshold
+                        and logprob_threshold is not None
+                        and r.avg_logprob < logprob_threshold
+                    ):
+                        needs_fallback = False
+                    if not needs_fallback:
+                        break
+                    r = decode_batch(
+                        mels[slot : slot + 1], [prompts[slot]], lang, t
+                    )[0]
+                results[slot] = r
+
+        # window bookkeeping per stream
+        for s, result in zip(active, results):
+            segment_size = min(N_FRAMES, s.content_frames - s.seek)
+            time_offset = float(s.seek * HOP_LENGTH / SAMPLE_RATE)
+            tokenizer = get_tokenizer(
+                model.is_multilingual,
+                num_languages=model.num_languages,
+                language=stream_language[s.idx],
+                task=task,
+            )
+
+            if no_speech_threshold is not None:
+                should_skip = result.no_speech_prob > no_speech_threshold
+                if (
+                    logprob_threshold is not None
+                    and result.avg_logprob > logprob_threshold
+                ):
+                    should_skip = False
+                if should_skip:
+                    s.seek += segment_size
+                    continue
+
+            seek_ref = s.seek
+
+            def make_segment(*, start, end, tokens, result):
+                tokens = [int(t) for t in tokens]
+                text_tokens = [t for t in tokens if t < tokenizer.eot]
+                return {
+                    "seek": seek_ref,
+                    "start": start,
+                    "end": end,
+                    "text": tokenizer.decode(text_tokens),
+                    "tokens": tokens,
+                    "temperature": result.temperature,
+                    "avg_logprob": result.avg_logprob,
+                    "compression_ratio": result.compression_ratio,
+                    "no_speech_prob": result.no_speech_prob,
+                }
+
+            segments, s.seek, _ = segments_from_tokens(
+                tokens=np.array(result.tokens),
+                tokenizer=tokenizer,
+                result=result,
+                seek=s.seek,
+                segment_size=segment_size,
+                time_offset=time_offset,
+                time_precision=time_precision,
+                input_stride=input_stride,
+                make_segment=make_segment,
+            )
+
+            for i, segment in enumerate(segments):
+                if segment["start"] == segment["end"] or segment["text"].strip() == "":
+                    segment["text"] = ""
+                    segment["tokens"] = []
+
+            s.all_segments.extend(
+                {"id": i, **seg}
+                for i, seg in enumerate(segments, start=len(s.all_segments))
+            )
+            s.all_tokens.extend(t for seg in segments for t in seg["tokens"])
+            if not condition_on_previous_text or result.temperature > 0.5:
+                s.prompt_reset_since = len(s.all_tokens)
+
+    out = []
+    for s in streams:
+        tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=stream_language[s.idx],
+            task=task,
+        )
+        out.append(
+            dict(
+                text=tokenizer.decode(s.all_tokens),
+                segments=s.all_segments,
+                language=stream_language[s.idx],
+            )
+        )
+    return out

@@ -68,6 +68,75 @@ def _next_words_segment(segments: List[dict]) -> Optional[dict]:
     return next((s for s in segments if s["words"]), None)
 
 
+def segments_from_tokens(
+    *,
+    tokens: np.ndarray,
+    tokenizer,
+    result: DecodingResult,
+    seek: int,
+    segment_size: int,
+    time_offset: float,
+    time_precision: float,
+    input_stride: int,
+    make_segment,
+) -> Tuple[List[dict], int, bool]:
+    """Slice a window's decoded tokens into segments using timestamp-token
+    pairs and compute the next seek position (the reference's segmentation +
+    seek rules, transcribe.py:350-410). Returns
+    (segments, new_seek, single_timestamp_ending)."""
+    segments: List[dict] = []
+    timestamp_tokens = tokens >= tokenizer.timestamp_begin
+    single_timestamp_ending = timestamp_tokens[-2:].tolist() == [False, True]
+
+    consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
+    if len(consecutive) > 0:
+        # consecutive timestamp pairs delimit segments
+        slices = consecutive.tolist()
+        if single_timestamp_ending:
+            slices.append(len(tokens))
+
+        last_slice = 0
+        for current_slice in slices:
+            sliced_tokens = tokens[last_slice:current_slice]
+            start_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
+            end_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
+            segments.append(
+                make_segment(
+                    start=time_offset + start_pos * time_precision,
+                    end=time_offset + end_pos * time_precision,
+                    tokens=sliced_tokens,
+                    result=result,
+                )
+            )
+            last_slice = current_slice
+
+        if single_timestamp_ending:
+            # no speech after the last timestamp
+            seek += segment_size
+        else:
+            # continue from the last complete timestamp
+            last_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
+            seek += last_pos * input_stride
+    else:
+        duration = segment_size * 0.01  # frames are 10 ms
+        timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
+        if len(timestamps) > 0 and int(timestamps[-1]) != tokenizer.timestamp_begin:
+            last_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
+            duration = last_pos * time_precision
+
+        segments.append(
+            make_segment(
+                start=time_offset,
+                end=time_offset + duration,
+                tokens=tokens,
+                result=result,
+            )
+        )
+        seek += segment_size
+
+    return segments, seek, single_timestamp_ending
+
+
 def transcribe(
     model: "Whisper",
     audio: Union[str, np.ndarray],
@@ -257,60 +326,17 @@ def transcribe(
                     continue
 
             previous_seek = seek
-            current_segments: List[dict] = []
-
-            timestamp_tokens = tokens >= tokenizer.timestamp_begin
-            single_timestamp_ending = timestamp_tokens[-2:].tolist() == [False, True]
-
-            consecutive = np.where(timestamp_tokens[:-1] & timestamp_tokens[1:])[0] + 1
-            if len(consecutive) > 0:
-                # output contains consecutive timestamp pairs: slice segments
-                slices = consecutive.tolist()
-                if single_timestamp_ending:
-                    slices.append(len(tokens))
-
-                last_slice = 0
-                for current_slice in slices:
-                    sliced_tokens = tokens[last_slice:current_slice]
-                    start_pos = int(sliced_tokens[0]) - tokenizer.timestamp_begin
-                    end_pos = int(sliced_tokens[-1]) - tokenizer.timestamp_begin
-                    current_segments.append(
-                        new_segment(
-                            start=time_offset + start_pos * time_precision,
-                            end=time_offset + end_pos * time_precision,
-                            tokens=sliced_tokens,
-                            result=result,
-                        )
-                    )
-                    last_slice = current_slice
-
-                if single_timestamp_ending:
-                    # no speech after the last timestamp
-                    seek += segment_size
-                else:
-                    # seek to the last complete timestamp
-                    last_pos = int(tokens[last_slice - 1]) - tokenizer.timestamp_begin
-                    seek += last_pos * input_stride
-            else:
-                duration = segment_duration
-                timestamps = tokens[np.nonzero(timestamp_tokens)[0]]
-                if (
-                    len(timestamps) > 0
-                    and int(timestamps[-1]) != tokenizer.timestamp_begin
-                ):
-                    # use the last timestamp as the duration
-                    last_pos = int(timestamps[-1]) - tokenizer.timestamp_begin
-                    duration = last_pos * time_precision
-
-                current_segments.append(
-                    new_segment(
-                        start=time_offset,
-                        end=time_offset + duration,
-                        tokens=tokens,
-                        result=result,
-                    )
-                )
-                seek += segment_size
+            current_segments, seek, single_timestamp_ending = segments_from_tokens(
+                tokens=tokens,
+                tokenizer=tokenizer,
+                result=result,
+                seek=seek,
+                segment_size=segment_size,
+                time_offset=time_offset,
+                time_precision=time_precision,
+                input_stride=input_stride,
+                make_segment=new_segment,
+            )
 
             if word_timestamps:
                 import jax.numpy as jnp
