@@ -761,6 +761,156 @@ const char* audioio_last_error() { return g_last_error.c_str(); }
 // fp32 -> bf16 (round-to-nearest-even) and back; host-side analog of the
 // reference's vImage fp16 conversion utilities
 // (/root/reference/coreml/coremlUtility.mm:4-19).
+// ---------------------------------------------------------------------------
+// Native log-mel frontend: 400-point Hann STFT (hop 160, reflect padding,
+// final frame dropped), Slaney mel projection, log10 + dynamic-range
+// compression — the same contract as whisper_tpu/ops/stft.py. Useful for
+// feeding features from a pure-native data loader.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+constexpr int kNFFT = 400;
+constexpr int kHop = 160;
+constexpr int kBins = kNFFT / 2 + 1;  // 201
+
+double hz_to_mel(double f) {
+  const double f_sp = 200.0 / 3.0;
+  const double min_log_hz = 1000.0;
+  const double min_log_mel = min_log_hz / f_sp;
+  const double logstep = std::log(6.4) / 27.0;
+  if (f >= min_log_hz) return min_log_mel + std::log(f / min_log_hz) / logstep;
+  return f / f_sp;
+}
+
+double mel_to_hz(double m) {
+  const double f_sp = 200.0 / 3.0;
+  const double min_log_hz = 1000.0;
+  const double min_log_mel = min_log_hz / f_sp;
+  const double logstep = std::log(6.4) / 27.0;
+  if (m >= min_log_mel) return min_log_hz * std::exp(logstep * (m - min_log_mel));
+  return f_sp * m;
+}
+
+std::vector<double> mel_filterbank(int n_mels, int sr) {
+  std::vector<double> fft_freqs(kBins);
+  for (int i = 0; i < kBins; i++) fft_freqs[i] = (double)i * sr / kNFFT;
+
+  std::vector<double> mel_edges(n_mels + 2);
+  double lo = hz_to_mel(0.0), hi = hz_to_mel(sr / 2.0);
+  for (int i = 0; i < n_mels + 2; i++) {
+    mel_edges[i] = mel_to_hz(lo + (hi - lo) * i / (n_mels + 1));
+  }
+
+  std::vector<double> weights((size_t)n_mels * kBins, 0.0);
+  for (int m = 0; m < n_mels; m++) {
+    double f0 = mel_edges[m], f1 = mel_edges[m + 1], f2 = mel_edges[m + 2];
+    double enorm = 2.0 / (f2 - f0);
+    for (int k = 0; k < kBins; k++) {
+      double lower = (fft_freqs[k] - f0) / (f1 - f0);
+      double upper = (f2 - fft_freqs[k]) / (f2 - f1);
+      double w = std::min(lower, upper);
+      if (w > 0) weights[(size_t)m * kBins + k] = w * enorm;
+    }
+  }
+  return weights;
+}
+
+}  // namespace
+
+// Compute the (n_mels, n_frames) log-mel spectrogram of mono 16 kHz audio,
+// optionally right-padded with `padding` zero samples. Caller frees *out
+// with audioio_free. Returns 0 on success.
+int audioio_log_mel(const float* audio, int64_t n_samples, int n_mels,
+                    int64_t padding, float** out, int64_t* out_frames) {
+  g_last_error.clear();
+  if (n_mels != 80 && n_mels != 128) {
+    set_error("n_mels must be 80 or 128");
+    return -1;
+  }
+  const int64_t n = n_samples + padding;
+  const int half = kNFFT / 2;
+  if (n_samples < half + 1) {
+    set_error("audio too short");
+    return -1;
+  }
+
+  // reflect-padded sample accessor
+  auto sample = [&](int64_t i) -> double {
+    int64_t j = i - half;
+    if (j < 0) j = -j;                     // left reflect
+    if (j >= n) j = 2 * n - 2 - j;         // right reflect (within padded len)
+    if (j >= n_samples) return 0.0;        // zero padding region
+    return audio[j];
+  };
+
+  const int64_t n_frames_full = 1 + (n + 2LL * half - kNFFT) / kHop;
+  const int64_t n_frames = n_frames_full - 1;  // final frame dropped
+
+  // precompute window and DFT tables
+  static thread_local std::vector<double> hann, cos_t, sin_t;
+  if (hann.empty()) {
+    hann.resize(kNFFT);
+    for (int i = 0; i < kNFFT; i++) {
+      hann[i] = 0.5 - 0.5 * std::cos(2.0 * M_PI * i / kNFFT);
+    }
+    cos_t.resize((size_t)kBins * kNFFT);
+    sin_t.resize((size_t)kBins * kNFFT);
+    for (int k = 0; k < kBins; k++) {
+      for (int i = 0; i < kNFFT; i++) {
+        double ang = 2.0 * M_PI * k * i / kNFFT;
+        cos_t[(size_t)k * kNFFT + i] = std::cos(ang);
+        sin_t[(size_t)k * kNFFT + i] = std::sin(ang);
+      }
+    }
+  }
+
+  std::vector<double> mel_w = mel_filterbank(n_mels, 16000);
+  std::vector<double> power(kBins);
+  std::vector<double> frame(kNFFT);
+  std::vector<double> mel((size_t)n_mels * n_frames, 0.0);
+
+  for (int64_t t = 0; t < n_frames; t++) {
+    const int64_t base = t * kHop;
+    for (int i = 0; i < kNFFT; i++) frame[i] = sample(base + i) * hann[i];
+    for (int k = 0; k < kBins; k++) {
+      const double* ct = &cos_t[(size_t)k * kNFFT];
+      const double* st = &sin_t[(size_t)k * kNFFT];
+      double re = 0.0, im = 0.0;
+      for (int i = 0; i < kNFFT; i++) {
+        re += frame[i] * ct[i];
+        im -= frame[i] * st[i];
+      }
+      power[k] = re * re + im * im;
+    }
+    for (int m = 0; m < n_mels; m++) {
+      const double* w = &mel_w[(size_t)m * kBins];
+      double acc = 0.0;
+      for (int k = 0; k < kBins; k++) acc += w[k] * power[k];
+      mel[(size_t)m * n_frames + t] = acc;
+    }
+  }
+
+  double global_max = -1e30;
+  for (double& v : mel) {
+    v = std::log10(std::max(v, 1e-10));
+    global_max = std::max(global_max, v);
+  }
+
+  float* buf = (float*)malloc(mel.size() * sizeof(float));
+  if (!buf) {
+    set_error("out of memory");
+    return -1;
+  }
+  for (size_t i = 0; i < mel.size(); i++) {
+    double v = std::max(mel[i], global_max - 8.0);
+    buf[i] = (float)((v + 4.0) / 4.0);
+  }
+  *out = buf;
+  *out_frames = n_frames;
+  return 0;
+}
+
 void audioio_f32_to_bf16(const float* src, uint16_t* dst, int64_t n) {
   for (int64_t i = 0; i < n; i++) {
     uint32_t bits;

@@ -145,3 +145,15 @@ def test_wav_decode_roundtrip(tmp_path):
     audio = load_audio(str(path))
     assert audio.shape == (sr,)
     assert np.abs(audio - signal.astype(np.float32) / 32768.0).max() < 1e-6
+
+
+def test_native_log_mel_matches_numpy(jfk_audio):
+    """C++ audioio_log_mel vs the numpy reference path."""
+    from whisper_tpu.ops.stft import log_mel_spectrogram_np
+    from whisper_tpu.runtime import log_mel_native
+
+    for n_mels, padding in [(80, 0), (128, 48000)]:
+        native = log_mel_native(jfk_audio, n_mels=n_mels, padding=padding)
+        ref = log_mel_spectrogram_np(jfk_audio, n_mels=n_mels, padding=padding)
+        assert native.shape == ref.shape
+        assert np.abs(native - ref).max() < 1e-5

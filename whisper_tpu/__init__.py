@@ -9,10 +9,6 @@ framework re-implements for TPU): `load_model`, `available_models`,
 import os
 from typing import Optional
 
-from .runtime_config import configure_jax_cache
-
-configure_jax_cache()
-
 from .audio import load_audio, log_mel_spectrogram, pad_or_trim
 from .decoding import DecodingOptions, DecodingResult, decode, detect_language
 from .models import MODEL_DIMS, ModelDimensions, Whisper

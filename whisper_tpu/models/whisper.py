@@ -52,6 +52,10 @@ class Whisper:
         name: str = "custom",
         compute_dtype: str = "bfloat16",
     ):
+        from ..runtime_config import configure_jax_cache
+
+        configure_jax_cache()  # persistent compile cache (TPU backend only)
+
         self.dims = dims
         self.name = name
         self.compute_dtype = jnp.dtype(compute_dtype)

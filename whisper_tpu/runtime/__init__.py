@@ -1,3 +1,15 @@
-from .native import decode_audio_native, f32_to_bf16, bf16_to_f32, native_available
+from .native import (
+    bf16_to_f32,
+    decode_audio_native,
+    f32_to_bf16,
+    log_mel_native,
+    native_available,
+)
 
-__all__ = ["decode_audio_native", "f32_to_bf16", "bf16_to_f32", "native_available"]
+__all__ = [
+    "bf16_to_f32",
+    "decode_audio_native",
+    "f32_to_bf16",
+    "log_mel_native",
+    "native_available",
+]

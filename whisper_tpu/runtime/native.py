@@ -85,6 +85,15 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float),
             ctypes.c_int64,
         ]
+        lib.audioio_log_mel.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int,
+            ctypes.c_int64,
+            ctypes.POINTER(ctypes.POINTER(ctypes.c_float)),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib.audioio_log_mel.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -114,6 +123,35 @@ def decode_audio_native(path: str, sample_rate: int) -> np.ndarray:
         return np.array(buf, dtype=np.float32)  # copy out of native buffer
     finally:
         lib.audioio_free(out_ptr)
+
+
+def log_mel_native(audio: np.ndarray, n_mels: int = 80, padding: int = 0) -> np.ndarray:
+    """Native C++ log-mel spectrogram (runtime/audioio.cpp audioio_log_mel):
+    same contract as ops/stft.log_mel_spectrogram_np, validated to ~1e-7.
+    Exists for pure-native data-loading pipelines; the numpy (pocketfft) path
+    is the faster host default."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native audioio library unavailable")
+    audio = np.ascontiguousarray(audio, dtype=np.float32)
+    out = ctypes.POINTER(ctypes.c_float)()
+    frames = ctypes.c_int64(0)
+    rc = lib.audioio_log_mel(
+        audio.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        audio.size,
+        n_mels,
+        padding,
+        ctypes.byref(out),
+        ctypes.byref(frames),
+    )
+    if rc != 0:
+        msg = lib.audioio_last_error().decode("utf-8", errors="replace")
+        raise RuntimeError(f"native log-mel failed: {msg}")
+    try:
+        buf = np.ctypeslib.as_array(out, shape=(n_mels, frames.value))
+        return np.array(buf, dtype=np.float32)
+    finally:
+        lib.audioio_free(out)
 
 
 def f32_to_bf16(x: np.ndarray) -> np.ndarray:

@@ -19,12 +19,24 @@ _configured = False
 
 
 def configure_jax_cache():
+    """Called lazily (on first model construction, after the backend exists)
+    rather than at import: the cache is only enabled on the TPU backend.
+    Under the axon tunnel even 'CPU' helper executables are compiled on the
+    remote server, so loading them from the cache on the local CPU trips
+    machine-feature mismatches (potential SIGILL)."""
     global _configured
     if _configured or os.environ.get("WHISPER_TPU_NO_CACHE"):
         _configured = True
         return
 
     import jax
+
+    try:
+        if jax.default_backend() != "tpu":
+            _configured = True
+            return
+    except Exception:
+        return  # backend not ready; retry on next call
 
     cache_dir = os.environ.get("WHISPER_TPU_CACHE_DIR")
     if cache_dir is None:

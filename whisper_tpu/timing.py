@@ -11,6 +11,7 @@ anti-diagonal path by default with an on-device lax.scan variant available
 (ops/dtw.py).
 """
 
+import os
 import warnings
 from dataclasses import dataclass
 from typing import TYPE_CHECKING, List
@@ -19,7 +20,7 @@ import numpy as np
 
 from .audio import HOP_LENGTH, SAMPLE_RATE, TOKENS_PER_SECOND
 from .models.graphs import PREFILL_LEN
-from .ops.dtw import dtw
+from .ops.dtw import dtw as dtw_default
 from .ops.median import median_filter_np
 from .tokenizer import Tokenizer
 
@@ -27,8 +28,24 @@ if TYPE_CHECKING:
     from .models.whisper import Whisper
 
 
+def _use_pallas() -> bool:
+    return bool(os.environ.get("WHISPER_TPU_PALLAS"))
+
+
 def median_filter(x: np.ndarray, filter_width: int) -> np.ndarray:
+    if _use_pallas():
+        from .ops.pallas_kernels import median_filter_pallas
+
+        return median_filter_pallas(x, filter_width)
     return median_filter_np(x, filter_width)
+
+
+def dtw(x) -> np.ndarray:
+    if _use_pallas():
+        from .ops.pallas_kernels import dtw_pallas
+
+        return dtw_pallas(x)
+    return dtw_default(x)
 
 
 @dataclass
