@@ -47,6 +47,8 @@ def main():
     ap.add_argument("--beam", type=int, default=5)
     ap.add_argument("--trials", type=int, default=10)
     ap.add_argument("--steps", type=int, default=96, help="fused decode steps")
+    ap.add_argument("--greedy", action="store_true", help="fused greedy instead of beam")
+    ap.add_argument("--no-timestamps", action="store_true", help="disable timestamp rules")
     args = ap.parse_args()
 
     from whisper_tpu.engine_fused import FusedEngine
@@ -81,6 +83,9 @@ def main():
 
     results["decode_step"] = time_fn(one_step, args.trials)
 
+    beam_search = not args.greedy
+    n_group = args.beam if beam_search else 1
+
     def fused():
         return engine.run(
             [tok.sot, tok.sot + 1, tok.transcribe],
@@ -91,10 +96,10 @@ def main():
             blank_ids=[tok.eot],
             max_initial_ts_index=50,
             sample_len=args.steps,
-            n_group=args.beam,
-            beam_search=True,
-            max_candidates=args.beam,
-            use_timestamps=True,
+            n_group=n_group,
+            beam_search=beam_search,
+            max_candidates=n_group,
+            use_timestamps=not args.no_timestamps,
             temperature=0.0,
             eot=tok.eot,
             timestamp_begin=tok.timestamp_begin,
