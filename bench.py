@@ -44,8 +44,6 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache
 jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
-import jax.numpy as jnp  # noqa: E402
-
 from whisper_tpu.engine_fused import FusedEngine  # noqa: E402
 from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
 from whisper_tpu.ops.stft import log_mel_spectrogram_np  # noqa: E402

@@ -28,9 +28,6 @@ LayerNorm epsilons follow the reference: 1e-7 in the audio encoder
 (encoder.py:66,95), 1e-5 (torch default) in the text decoder.
 """
 
-from functools import partial
-from typing import NamedTuple, Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

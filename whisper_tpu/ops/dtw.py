@@ -17,8 +17,6 @@ behavior (when diag and up costs tie, "left" is chosen — the numba code's
 if/elif/else falls through to c2).
 """
 
-from typing import Tuple
-
 import numpy as np
 
 

@@ -18,7 +18,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..models import graphs
 from ..models.dims import ModelDimensions
-from .sharding import param_shardings
+from .sharding import shard_params
 
 
 class TrainState(NamedTuple):
@@ -73,8 +73,6 @@ def make_train_step(
     }
 
     def init_state(params) -> TrainState:
-        from .sharding import shard_params
-
         params = shard_params(params, mesh)
         opt_state = tx.init(params)
         return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))

@@ -19,7 +19,7 @@ import threading
 import time
 from collections import defaultdict
 from contextlib import contextmanager
-from typing import Dict, Optional
+from typing import Dict
 
 _lock = threading.Lock()
 _totals: Dict[str, float] = defaultdict(float)

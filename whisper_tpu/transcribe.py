@@ -14,7 +14,6 @@ stays in Python by design (SURVEY.md §7 "dynamic control flow at window
 level").
 """
 
-import traceback
 import warnings
 from typing import TYPE_CHECKING, List, Optional, Tuple, Union
 
