@@ -1,0 +1,31 @@
+"""Long-form golden-transcript regression fixture.
+
+The reference pins long-form behavior with data/meanwhile.json (a golden
+transcript keyed by clip times). Real checkpoints aren't available offline,
+so the equivalent here is a pinned transcript of tests/jfk.flac under the
+seeded synthetic checkpoint: any change to the mel frontend, graphs,
+decoding, or segmentation that shifts output breaks this test.
+
+Regenerate (after an intentional behavior change) with:
+    python tests/gen_golden.py
+"""
+
+import json
+import os
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "data", "jfk_synthetic_golden.json")
+
+
+def test_golden_long_form_transcript(tpu_model, jfk_audio):
+    with open(GOLDEN) as f:
+        golden = json.load(f)
+
+    res = tpu_model.transcribe(
+        jfk_audio, verbose=None, **golden["options"]
+    )
+    assert res["text"] == golden["text"]
+    assert len(res["segments"]) == len(golden["segments"])
+    for got, want in zip(res["segments"], golden["segments"]):
+        assert got["tokens"] == want["tokens"]
+        assert abs(got["start"] - want["start"]) < 1e-9
+        assert abs(got["end"] - want["end"]) < 1e-9

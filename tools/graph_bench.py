@@ -109,6 +109,37 @@ def main():
 
     results[f"fused_decode[{args.steps} steps]"] = time_fn(fused, max(2, args.trials // 2))
 
+    # raw while_loop of bare decode_step (no filters / sampling / beam):
+    # isolates the loop-mechanics + step cost from the decoding logic
+    import jax.numpy as jnp2
+    from whisper_tpu.models import graphs as G
+
+    dec = model.params["decoder"]
+    ckb = jnp.repeat(ck, n_group, axis=1) if n_group > 1 else ck
+    cvb = jnp.repeat(cv, n_group, axis=1) if n_group > 1 else cv
+
+    import functools as _ft
+
+    @jax.jit
+    def raw_loop(cache):
+        def body(state):
+            i, toks, cache = state
+            logits, cache = G.decode_step(
+                dec, toks, i + 3, cache, jnp2.arange(n_group, dtype=jnp2.int32),
+                ckb, cvb, n_head=dims.n_text_head,
+            )
+            return (i + 1, jnp2.argmax(logits, -1).astype(jnp2.int32), cache)
+
+        state = (jnp2.int32(0), jnp2.zeros(n_group, jnp2.int32), cache)
+        state = jax.lax.while_loop(lambda s: s[0] < args.steps, body, state)
+        return state[1]
+
+    def raw():
+        cache = model.kv_to_cache(kv, beam=n_group)
+        return raw_loop(cache)
+
+    results[f"raw_step_loop[{args.steps} steps]"] = time_fn(raw, max(2, args.trials // 2))
+
     print(f"\nmodel={args.model} beam={args.beam} device={jax.devices()[0]}")
     print(f"{'graph':<26} {'first(s)':>10} {'steady(ms)':>12}")
     for name, (first, steady) in results.items():
