@@ -387,6 +387,125 @@ int wtpu_pjrt_execute(void* client_ptr, void* exec_ptr, int32_t num_args,
   return 0;
 }
 
+
+// ---------------------------------------------------------------------------
+// Persistent device buffers + handle-based execution: the analog of the
+// reference's device-resident arrayXa / arrayCK / arrayMKV448 buffers shared
+// between graphs via output backings (coreml.mm:19-23,231-233). Buffers stay
+// on device across calls; executables compiled from donated-argument exports
+// alias their cache input to the corresponding output, so the KV cache never
+// leaves HBM.
+// ---------------------------------------------------------------------------
+
+// Upload host data to a device buffer; returns a PJRT_Buffer* handle.
+void* wtpu_pjrt_buffer_from_host(void* client_ptr, const void* data,
+                                 const int64_t* dims, int32_t ndims,
+                                 int32_t type) {
+  g_error.clear();
+  auto* c = (Client*)client_ptr;
+  PJRT_Client_BufferFromHostBuffer_Args bargs;
+  memset(&bargs, 0, sizeof(bargs));
+  bargs.struct_size = PJRT_Client_BufferFromHostBuffer_Args_STRUCT_SIZE;
+  bargs.client = c->client;
+  bargs.data = data;
+  bargs.type = (PJRT_Buffer_Type)type;
+  bargs.dims = dims;
+  bargs.num_dims = (size_t)ndims;
+  bargs.host_buffer_semantics =
+      PJRT_HostBufferSemantics_kImmutableUntilTransferCompletes;
+  bargs.device = c->devices[0];
+  if (consume_error(c->api, c->api->PJRT_Client_BufferFromHostBuffer(&bargs),
+                    "BufferFromHostBuffer")) {
+    return nullptr;
+  }
+  if (!await_event(c->api, bargs.done_with_host_buffer, "host buffer transfer")) {
+    return nullptr;
+  }
+  return bargs.buffer;
+}
+
+// Execute with device-resident buffer handles. Outputs are returned as NEW
+// device handles in out_handles (caller owns; destroy or reuse). Donated
+// inputs are consumed: their handles must not be used again.
+int wtpu_pjrt_execute_handles(void* client_ptr, void* exec_ptr, int32_t num_args,
+                              void** arg_handles, int32_t num_outputs,
+                              void** out_handles) {
+  g_error.clear();
+  auto* c = (Client*)client_ptr;
+  const PJRT_Api* api = c->api;
+
+  std::vector<PJRT_Buffer*> args_vec((size_t)num_args);
+  for (int i = 0; i < num_args; i++) args_vec[i] = (PJRT_Buffer*)arg_handles[i];
+  std::vector<PJRT_Buffer*> outputs((size_t)num_outputs, nullptr);
+
+  PJRT_ExecuteOptions options;
+  memset(&options, 0, sizeof(options));
+  options.struct_size = PJRT_ExecuteOptions_STRUCT_SIZE;
+
+  PJRT_Buffer* const* arg_list = args_vec.data();
+  PJRT_Buffer** out_list = outputs.data();
+  PJRT_Event* done_event = nullptr;
+
+  PJRT_LoadedExecutable_Execute_Args eargs;
+  memset(&eargs, 0, sizeof(eargs));
+  eargs.struct_size = PJRT_LoadedExecutable_Execute_Args_STRUCT_SIZE;
+  eargs.executable = (PJRT_LoadedExecutable*)exec_ptr;
+  eargs.options = &options;
+  eargs.argument_lists = &arg_list;
+  eargs.num_devices = 1;
+  eargs.num_args = (size_t)num_args;
+  eargs.output_lists = &out_list;
+  eargs.device_complete_events = &done_event;
+  if (consume_error(api, api->PJRT_LoadedExecutable_Execute(&eargs), "Execute")) {
+    return -1;
+  }
+  if (!await_event(api, done_event, "execution")) return -1;
+  for (int i = 0; i < num_outputs; i++) out_handles[i] = outputs[i];
+  return 0;
+}
+
+// Copy a device buffer to host (dense row-major).
+int wtpu_pjrt_buffer_to_host(void* client_ptr, void* buffer, void* dst,
+                             int64_t capacity, const int64_t* dims,
+                             int32_t ndims) {
+  g_error.clear();
+  auto* c = (Client*)client_ptr;
+  const PJRT_Api* api = c->api;
+  (void)dims;
+
+  std::vector<int64_t> minor_to_major((size_t)ndims);
+  for (int d = 0; d < ndims; d++) minor_to_major[d] = ndims - 1 - d;
+  PJRT_Buffer_MemoryLayout host_layout;
+  memset(&host_layout, 0, sizeof(host_layout));
+  host_layout.struct_size = PJRT_Buffer_MemoryLayout_STRUCT_SIZE;
+  host_layout.type = PJRT_Buffer_MemoryLayout_Type_Tiled;
+  host_layout.tiled.struct_size = PJRT_Buffer_MemoryLayout_Tiled_STRUCT_SIZE;
+  host_layout.tiled.minor_to_major = minor_to_major.data();
+  host_layout.tiled.minor_to_major_size = minor_to_major.size();
+
+  PJRT_Buffer_ToHostBuffer_Args targs;
+  memset(&targs, 0, sizeof(targs));
+  targs.struct_size = PJRT_Buffer_ToHostBuffer_Args_STRUCT_SIZE;
+  targs.src = (PJRT_Buffer*)buffer;
+  targs.host_layout = &host_layout;
+  targs.dst = dst;
+  targs.dst_size = (size_t)capacity;
+  if (consume_error(api, api->PJRT_Buffer_ToHostBuffer(&targs), "ToHostBuffer")) {
+    return -1;
+  }
+  if (!await_event(api, targs.event, "device->host copy")) return -1;
+  return 0;
+}
+
+void wtpu_pjrt_buffer_destroy(void* client_ptr, void* buffer) {
+  auto* c = (Client*)client_ptr;
+  PJRT_Buffer_Destroy_Args dargs;
+  memset(&dargs, 0, sizeof(dargs));
+  dargs.struct_size = PJRT_Buffer_Destroy_Args_STRUCT_SIZE;
+  dargs.buffer = (PJRT_Buffer*)buffer;
+  consume_error(c->api, c->api->PJRT_Buffer_Destroy(&dargs), "Buffer_Destroy");
+}
+
 int wtpu_pjrt_executable_num_outputs(void* client_ptr, void* exec_ptr) {
   auto* c = (Client*)client_ptr;
   PJRT_LoadedExecutable_GetExecutable_Args gargs;

@@ -110,3 +110,29 @@ def test_sot_prev_prompt_structure(tpu_model):
     assert task.initial_tokens[0] == tok.sot_prev
     assert task.initial_tokens[1:4] == (1, 2, 3)
     assert task.initial_tokens[4:] == tok.sot_sequence
+
+
+def test_english_only_model_parity(tmp_path_factory):
+    """gpt2-tokenizer (.en) models decode identically to the reference."""
+    import torch
+    import whisper_tpu
+    from oracle import save_reference_checkpoint, load_reference_model
+    from whisper_tpu.models.dims import ModelDimensions
+
+    dims = ModelDimensions(80, 1500, 128, 2, 2, 51864, 448, 128, 2, 2)  # en vocab
+    path = str(tmp_path_factory.mktemp("en") / "synth_en.pt")
+    save_reference_checkpoint(path, dims, seed=21, scale=0.5)
+    ref = load_reference_model(path)
+    mine = whisper_tpu.load_model(path, compute_dtype="float32")
+    assert not mine.is_multilingual
+
+    mel = (np.random.RandomState(9).randn(80, 3000) * 0.6).astype(np.float32)
+    # decode(language=None) on an English-only model raises in both
+    # implementations (no language tokens to detect)
+    with pytest.raises(ValueError, match="lang id"):
+        decode(mine, mel, DecodingOptions(temperature=0.0, sample_len=5))
+
+    r = _ref_decode(ref, mel, language="en", temperature=0.0, sample_len=25)
+    m = decode(mine, mel, DecodingOptions(language="en", temperature=0.0, sample_len=25))
+    assert m.tokens == r.tokens
+    assert m.language == r.language == "en"

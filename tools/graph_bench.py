@@ -121,12 +121,15 @@ def main():
     import functools as _ft
 
     @jax.jit
-    def raw_loop(cache):
+    def raw_loop(dec_params, ckx, cvx, cache):
+        # params/caches passed as arguments (a closure would bake the weights
+        # into the HLO as constants and explode compile time)
         def body(state):
             i, toks, cache = state
             logits, cache = G.decode_step(
-                dec, toks, i + 3, cache, jnp2.arange(n_group, dtype=jnp2.int32),
-                ckb, cvb, n_head=dims.n_text_head,
+                dec_params, toks, i + 3, cache,
+                jnp2.arange(n_group, dtype=jnp2.int32),
+                ckx, cvx, n_head=dims.n_text_head,
             )
             return (i + 1, jnp2.argmax(logits, -1).astype(jnp2.int32), cache)
 
@@ -136,7 +139,7 @@ def main():
 
     def raw():
         cache = model.kv_to_cache(kv, beam=n_group)
-        return raw_loop(cache)
+        return raw_loop(dec, ckb, cvb, cache)
 
     results[f"raw_step_loop[{args.steps} steps]"] = time_fn(raw, max(2, args.trials // 2))
 

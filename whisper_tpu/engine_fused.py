@@ -149,14 +149,20 @@ def _apply_filters(
 
 def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
     G = cfg.n_group
-    # temperature is a traced scalar: compute both argmax and a sample and
-    # select, so one compiled graph serves the whole fallback ladder
+    # temperature is a traced scalar so one compiled graph serves the whole
+    # fallback ladder; the RNG + categorical branch only EXECUTES when t > 0
+    # (unconditional threefry sampling over the vocab costs ~1 ms/token)
     rng, sub = jax.random.split(state.rng)
-    greedy_tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    sampled_tokens = jax.random.categorical(
-        sub, logits / jnp.maximum(temperature, 1e-6)
-    ).astype(jnp.int32)
-    next_tokens = jnp.where(temperature == 0, greedy_tokens, sampled_tokens)
+
+    def sample(_):
+        return jax.random.categorical(
+            sub, logits / jnp.maximum(temperature, 1e-6)
+        ).astype(jnp.int32)
+
+    def greedy(_):
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+    next_tokens = jax.lax.cond(temperature == 0, greedy, sample, None)
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     current = logprobs[jnp.arange(G), next_tokens]

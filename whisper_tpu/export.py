@@ -40,12 +40,17 @@ def _dtype_code(dtype) -> int:
     return table[str(np.dtype(dtype) if str(dtype) != "bfloat16" else "bfloat16")]
 
 
-def export_graph(out_dir: str, fn, example_args: Sequence, name: str = "graph"):
-    """Lower `fn(*example_args)` to StableHLO + CompileOptions + spec.json."""
+def export_graph(
+    out_dir: str, fn, example_args: Sequence, name: str = "graph", donate_argnums=()
+):
+    """Lower `fn(*example_args)` to StableHLO + CompileOptions + spec.json.
+    `donate_argnums` marks inputs whose buffers alias outputs (the exported
+    MLIR carries tf.aliasing_output attributes; the native runtime's
+    execute_handles then keeps e.g. the KV cache device-resident)."""
     from jax._src.lib import xla_client
 
     os.makedirs(out_dir, exist_ok=True)
-    lowered = jax.jit(fn).lower(*example_args)
+    lowered = jax.jit(fn, donate_argnums=donate_argnums).lower(*example_args)
     mlir_text = lowered.as_text(dialect="stablehlo")
     compile_options = xla_client.CompileOptions().SerializeAsString()
 

@@ -71,6 +71,31 @@ def _load_lib() -> ctypes.CDLL:
     ]
     lib.wtpu_pjrt_executable_destroy.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     lib.wtpu_pjrt_client_destroy.argtypes = [ctypes.c_void_p]
+    lib.wtpu_pjrt_buffer_from_host.restype = ctypes.c_void_p
+    lib.wtpu_pjrt_buffer_from_host.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+        ctypes.c_int32,
+    ]
+    lib.wtpu_pjrt_execute_handles.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_void_p),
+        ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_void_p),
+    ]
+    lib.wtpu_pjrt_buffer_to_host.argtypes = [
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_void_p,
+        ctypes.c_int64,
+        ctypes.POINTER(ctypes.c_int64),
+        ctypes.c_int32,
+    ]
+    lib.wtpu_pjrt_buffer_destroy.argtypes = [ctypes.c_void_p, ctypes.c_void_p]
     return lib
 
 
@@ -215,6 +240,65 @@ class PjrtRunner:
             results.append(arr)
         return results
 
+    # ---- persistent device buffers (the arrayMKV448 analog) ---------------
+
+    def buffer_from_host(self, arr: np.ndarray, pjrt_type: Optional[int] = None) -> "DeviceBuffer":
+        """Upload a host array; the buffer stays device-resident until
+        destroyed or consumed by a donated executable input."""
+        arr = np.ascontiguousarray(arr)
+        if pjrt_type is None:
+            pjrt_type = {
+                "float32": 11,
+                "int32": 4,
+                "uint16": 7,  # bf16 bit pattern uploads use the bf16 code explicitly
+            }[str(arr.dtype)]
+        dims = (ctypes.c_int64 * arr.ndim)(*arr.shape)
+        h = self.lib.wtpu_pjrt_buffer_from_host(
+            self.client, arr.ctypes.data_as(ctypes.c_void_p), dims, arr.ndim, pjrt_type
+        )
+        if not h:
+            raise RuntimeError(self._err("buffer upload failed"))
+        return DeviceBuffer(h, tuple(arr.shape), str(arr.dtype))
+
+    def execute_handles(self, name: str, buffers: Sequence["DeviceBuffer"]) -> List["DeviceBuffer"]:
+        """Execute with device-resident inputs; outputs stay on device.
+        Donated inputs (per the exported graph) are consumed — their handles
+        must not be reused."""
+        exe, spec = self._executables[name]
+        n_out = len(spec["outputs"])
+        arg_handles = (ctypes.c_void_p * len(buffers))(*[b.handle for b in buffers])
+        out_handles = (ctypes.c_void_p * n_out)()
+        rc = self.lib.wtpu_pjrt_execute_handles(
+            self.client, exe, len(buffers), arg_handles, n_out, out_handles
+        )
+        if rc != 0:
+            raise RuntimeError(self._err(f"execute_handles of {name!r} failed"))
+        return [
+            DeviceBuffer(out_handles[i], tuple(o["shape"]), o["dtype"])
+            for i, o in enumerate(spec["outputs"])
+        ]
+
+    def to_host(self, buf: "DeviceBuffer") -> np.ndarray:
+        itemsize = 2 if buf.dtype == "bfloat16" else np.dtype(buf.dtype).itemsize
+        nbytes = int(np.prod(buf.shape, dtype=np.int64)) * itemsize if buf.shape else itemsize
+        raw = ctypes.create_string_buffer(nbytes)
+        dims = (ctypes.c_int64 * len(buf.shape))(*buf.shape)
+        rc = self.lib.wtpu_pjrt_buffer_to_host(
+            self.client, buf.handle, ctypes.cast(raw, ctypes.c_void_p), nbytes, dims, len(buf.shape)
+        )
+        if rc != 0:
+            raise RuntimeError(self._err("buffer download failed"))
+        data = np.frombuffer(raw, dtype=np.uint8, count=nbytes)
+        if buf.dtype == "bfloat16":
+            from .native import bf16_to_f32
+
+            return bf16_to_f32(data.view(np.uint16)).reshape(buf.shape)
+        return data.view(np.dtype(buf.dtype)).reshape(buf.shape).copy()
+
+    def destroy_buffer(self, buf: "DeviceBuffer"):
+        self.lib.wtpu_pjrt_buffer_destroy(self.client, buf.handle)
+        buf.handle = None
+
     def close(self):
         for exe, _ in self._executables.values():
             self.lib.wtpu_pjrt_executable_destroy(self.client, exe)
@@ -222,3 +306,15 @@ class PjrtRunner:
         if self.client:
             self.lib.wtpu_pjrt_client_destroy(self.client)
             self.client = None
+
+
+class DeviceBuffer:
+    """Handle to a device-resident PJRT buffer."""
+
+    def __init__(self, handle, shape, dtype):
+        self.handle = handle
+        self.shape = shape
+        self.dtype = dtype
+
+    def __repr__(self):
+        return f"DeviceBuffer(shape={self.shape}, dtype={self.dtype})"
