@@ -1,0 +1,156 @@
+"""Fused beam-update Pallas kernel vs the jnp reference path, bit-level.
+
+The jnp path (engine_fused._apply_filters + _beam_update) is pinned against
+the host engine which is pinned against the reference implementation, so
+kernel == jnp here means kernel == reference."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from whisper_tpu.engine_fused import (
+    FusedConfig,
+    FusedState,
+    _apply_filters,
+    _beam_update,
+)
+from whisper_tpu.ops.beam_kernel import (
+    BeamKernelConfig,
+    beam_update_pallas,
+    build_penalty_vectors,
+)
+
+V = 51866
+TS_BEGIN = 50365  # multilingual large-v3 vocab layout
+EOT = 50257
+NO_TS = 50364
+G = 5
+T = 448
+MAX_CAND = 5
+
+
+def make_state(rng, n_tokens, step, fcount=0):
+    tokens = rng.randint(100, 5000, size=(G, T)).astype(np.int32)
+    if step > 0:
+        # make beams distinct and give some rows a timestamp history
+        tokens[1, 4] = TS_BEGIN + 10
+        tokens[1, 5] = TS_BEGIN + 10
+        tokens[2, n_tokens - 1] = TS_BEGIN + 30
+        tokens[3, n_tokens - 2] = TS_BEGIN + 7
+        tokens[3, n_tokens - 1] = TS_BEGIN + 12
+    else:
+        tokens = np.tile(tokens[:1], (G, 1))
+    state = FusedState(
+        step=jnp.int32(step),
+        n_tokens=jnp.int32(n_tokens),
+        tokens=jnp.asarray(tokens),
+        cache=jnp.zeros(()),  # unused by the update
+        src=jnp.arange(G, dtype=jnp.int32),
+        sum_logprobs=jnp.asarray(rng.randn(G).astype(np.float32) * (step > 0)),
+        completed=jnp.bool_(False),
+        finished_tokens=jnp.zeros((MAX_CAND, T + 1), jnp.int32),
+        finished_scores=jnp.full((MAX_CAND,), -jnp.inf, jnp.float32),
+        finished_lengths=jnp.zeros((MAX_CAND,), jnp.int32),
+        finished_count=jnp.int32(fcount),
+        rng=jax.random.PRNGKey(0),
+    )
+    return state
+
+
+@pytest.mark.parametrize(
+    "n_tokens, step, boost_eot, use_ts",
+    [
+        (3, 0, False, True),
+        (8, 3, False, True),
+        (8, 3, True, True),  # EOT among top candidates -> finished pool path
+        (10, 5, True, False),
+        (3, 0, False, False),
+    ],
+)
+def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
+    rng = np.random.RandomState(step * 7 + n_tokens)
+    state = make_state(rng, n_tokens, step)
+
+    logits = rng.randn(G, V).astype(np.float32)
+    if boost_eot:
+        logits[:, EOT] += 6.0  # force EOT into the candidate set
+
+    suppress_ids = [1, 2, 3, 11, 220]
+    blank_ids = [220, EOT]
+    max_initial = 50
+    sample_begin = 3
+
+    cfg = FusedConfig(
+        n_group=G,
+        beam_search=True,
+        use_timestamps=use_ts,
+        max_candidates=MAX_CAND,
+        eot=EOT,
+        timestamp_begin=TS_BEGIN,
+        no_timestamps=NO_TS,
+        no_speech=50363,
+    )
+
+    suppress_mask = np.zeros(V, bool)
+    suppress_mask[suppress_ids] = True
+    blank_mask = np.zeros(V, bool)
+    blank_mask[blank_ids] = True
+
+    filtered = _apply_filters(
+        jnp.asarray(logits),
+        state.tokens,
+        state.n_tokens,
+        jnp.int32(sample_begin),
+        jnp.asarray(suppress_mask),
+        jnp.asarray(blank_mask),
+        jnp.int32(max_initial),
+        cfg,
+    )
+    ref = _beam_update(filtered, state, cfg)
+
+    kcfg = BeamKernelConfig(
+        G=G, V=V, T=T, max_cand=MAX_CAND, eot=EOT,
+        timestamp_begin=TS_BEGIN, use_timestamps=use_ts,
+    )  # fmt: skip
+    suppress_pen, begin_pen = build_penalty_vectors(
+        V, suppress_ids, blank_ids,
+        use_timestamps=use_ts, no_timestamps=NO_TS,
+        timestamp_begin=TS_BEGIN, max_initial_ts_index=max_initial,
+    )  # fmt: skip
+
+    (
+        k_tokens, k_src, k_lp, k_ftok, k_fscore, k_flen, k_fcount, k_completed
+    ) = beam_update_pallas(
+        jnp.asarray(logits),
+        state.tokens,
+        state.sum_logprobs,
+        state.finished_tokens,
+        state.finished_scores,
+        state.finished_lengths,
+        state.finished_count,
+        state.n_tokens,
+        jnp.int32(sample_begin),
+        state.step,
+        jnp.asarray(suppress_pen),
+        jnp.asarray(begin_pen),
+        cfg=kcfg,
+        interpret=True,
+    )  # fmt: skip
+
+    n = n_tokens + 1
+    assert np.array_equal(np.asarray(k_tokens)[:, :n], np.asarray(ref.tokens)[:, :n])
+    assert np.array_equal(np.asarray(k_src), np.asarray(ref.src))
+    np.testing.assert_allclose(
+        np.asarray(k_lp), np.asarray(ref.sum_logprobs), rtol=0, atol=2e-5
+    )
+    assert int(k_fcount) == int(ref.finished_count)
+    assert bool(k_completed) == bool(ref.completed)
+    nf = int(k_fcount)
+    for i in range(nf):
+        ln = int(k_flen[i])
+        assert ln == int(ref.finished_lengths[i])
+        assert np.array_equal(
+            np.asarray(k_ftok)[i, :ln], np.asarray(ref.finished_tokens)[i, :ln]
+        )
+        assert abs(float(k_fscore[i]) - float(ref.finished_scores[i])) < 2e-5

@@ -136,3 +136,12 @@ def test_english_only_model_parity(tmp_path_factory):
     m = decode(mine, mel, DecodingOptions(language="en", temperature=0.0, sample_len=25))
     assert m.tokens == r.tokens
     assert m.language == r.language == "en"
+
+
+def test_lang_id_task(tpu_model, mel):
+    """task='lang_id' returns language-only results (reference decoding.py:750-758)."""
+    res = decode(tpu_model, mel, DecodingOptions(task="lang_id"))
+    assert res.language_probs is not None
+    assert len(res.language_probs) == 99
+    assert res.tokens == []
+    assert res.text == ""

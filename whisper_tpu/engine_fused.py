@@ -44,6 +44,11 @@ class FusedConfig(NamedTuple):
     no_timestamps: int
     no_speech: int
     sot_index_is_dynamic: bool = True
+    # run the whole per-step beam update (filters + top-k + ranking +
+    # finished pool) as ONE Pallas kernel instead of ~25 XLA ops — the
+    # per-iteration op count, not FLOPs, dominates loop cost (TODO.md)
+    pallas_beam: bool = False
+    pallas_interpret: bool = False  # interpret mode off-TPU
 
 
 class FusedState(NamedTuple):
@@ -330,7 +335,69 @@ def fused_decode(
         rng=jax.random.PRNGKey(rng_seed),
     )
 
+    if cfg.beam_search and cfg.pallas_beam:
+        from .ops.beam_kernel import BeamKernelConfig, beam_update_pallas
+
+        V = dec_params["tok_emb"].shape[0]
+        kcfg = BeamKernelConfig(
+            G=G,
+            V=V,
+            T=n_ctx,
+            max_cand=max(cfg.max_candidates, 1),
+            eot=cfg.eot,
+            timestamp_begin=cfg.timestamp_begin,
+            use_timestamps=cfg.use_timestamps,
+        )
+        # penalty vectors from the boolean masks (once per window)
+        ids = jnp.arange(V)
+        suppress_pen = jnp.where(suppress_mask, -jnp.inf, 0.0).astype(jnp.float32)
+        begin_pen = jnp.where(blank_suppress_mask, -jnp.inf, 0.0).astype(jnp.float32)
+        if cfg.use_timestamps:
+            suppress_pen = suppress_pen.at[cfg.no_timestamps].set(-jnp.inf)
+            begin_pen = jnp.where(ids < cfg.timestamp_begin, -jnp.inf, begin_pen)
+            begin_pen = jnp.where(
+                ids > cfg.timestamp_begin + max_initial_ts_index, -jnp.inf, begin_pen
+            )
+
     def apply_update(logits_f32, st):
+        if cfg.beam_search and cfg.pallas_beam:
+            (
+                new_tokens,
+                src,
+                new_lp,
+                ftok,
+                fscore,
+                flen,
+                fcount,
+                completed,
+            ) = beam_update_pallas(
+                logits_f32,
+                st.tokens,
+                st.sum_logprobs,
+                st.finished_tokens,
+                st.finished_scores,
+                st.finished_lengths,
+                st.finished_count,
+                st.n_tokens,
+                sample_begin,
+                st.step,
+                suppress_pen,
+                begin_pen,
+                cfg=kcfg,
+                interpret=cfg.pallas_interpret,
+            )
+            return st._replace(
+                tokens=new_tokens,
+                n_tokens=st.n_tokens + 1,
+                sum_logprobs=new_lp,
+                completed=completed,
+                src=src,
+                finished_tokens=ftok,
+                finished_scores=fscore,
+                finished_lengths=flen,
+                finished_count=fcount,
+            )
+
         filtered = _apply_filters(
             logits_f32,
             st.tokens,
@@ -424,8 +491,14 @@ class FusedEngine:
         no_speech: int,
         rng_seed: int = 0,
     ):
+        import os
+
         V = self.model.dims.n_vocab
         n_ctx = graphs.CACHE_SLOTS
+        # opt-in: the fused-update Pallas kernel matches the jnp path bit-for-bit
+        # but measured the SAME speed (the cost is ~40 real VPU passes over the
+        # 52k vocab, not op-dispatch overhead — see TODO.md); default off
+        pallas_beam = os.environ.get("WHISPER_TPU_PALLAS_BEAM", "0") == "1"
         cfg = FusedConfig(
             n_group=n_group,
             beam_search=beam_search,
@@ -435,6 +508,8 @@ class FusedEngine:
             timestamp_begin=timestamp_begin,
             no_timestamps=no_timestamps,
             no_speech=no_speech,
+            pallas_beam=pallas_beam and beam_search,
+            pallas_interpret=jax.default_backend() != "tpu",
         )
         fn = self._get(cfg)
 
