@@ -72,13 +72,11 @@ def main():
     results["prefill"] = time_fn(lambda: model.prefill(tokens, 3, ck, cv), args.trials)
 
     _, kv = model.prefill(tokens, 3, ck, cv)
-    ck_b = jnp.repeat(ck, args.beam, axis=1)
-    cv_b = jnp.repeat(cv, args.beam, axis=1)
 
     def one_step():
         cache = model.kv_to_cache(kv, beam=args.beam)
         return model.decode_step(
-            np.zeros(args.beam, np.int32), 3, cache, np.arange(args.beam), ck_b, cv_b
+            np.zeros(args.beam, np.int32), 3, cache, np.arange(args.beam), ck, cv
         )[0]
 
     results["decode_step"] = time_fn(one_step, args.trials)
@@ -115,8 +113,7 @@ def main():
     from whisper_tpu.models import graphs as G
 
     dec = model.params["decoder"]
-    ckb = jnp.repeat(ck, n_group, axis=1) if n_group > 1 else ck
-    cvb = jnp.repeat(cv, n_group, axis=1) if n_group > 1 else cv
+    ckb, cvb = ck, cv  # decode_step groups beams onto per-audio K/V
 
     import functools as _ft
 

@@ -150,8 +150,6 @@ class Inference:
         self.ck = None
         self.cv = None
         self.pending_src: Optional[np.ndarray] = None
-        self._ck_grouped = None
-        self._cv_grouped = None
 
     def set_audio_features(self, audio_features):
         self.ck, self.cv = self.model.cross_kv(audio_features)
@@ -181,9 +179,10 @@ class Inference:
             if src is None:
                 src = np.arange(n_batch, dtype=np.int32)
             self.pending_src = None
-            ck, cv = self._grouped_cross_kv()
+            # cross K/V stays one-per-audio; the step graph groups each
+            # audio's beams onto its K/V (no per-beam replication)
             logits, self.cache = self.model.decode_step(
-                step_tokens, self.text_offset, self.cache, src, ck, cv
+                step_tokens, self.text_offset, self.cache, src, self.ck, self.cv
             )
             self.text_offset += 1
             return np.array(logits)  # writable host copy for the logit filters
@@ -194,14 +193,6 @@ class Inference:
         h = self.prefill_hidden[:, position]
         out = np.asarray(self.model.hidden_to_logits(h))
         return np.repeat(out, self.n_group, axis=0)
-
-    def _grouped_cross_kv(self):
-        if self.n_group == 1:
-            return self.ck, self.cv
-        if getattr(self, "_ck_grouped", None) is None:
-            self._ck_grouped = jnp.repeat(self.ck, self.n_group, axis=1)
-            self._cv_grouped = jnp.repeat(self.cv, self.n_group, axis=1)
-        return self._ck_grouped, self._cv_grouped
 
     def rearrange_kv_cache(self, source_indices: Sequence[int]):
         src = np.asarray(source_indices, dtype=np.int32)
@@ -214,8 +205,6 @@ class Inference:
         self.text_offset = 0
         self.cache = None
         self.pending_src = None
-        self._ck_grouped = None
-        self._cv_grouped = None
 
 
 class SequenceRanker:

@@ -314,8 +314,7 @@ def fused_decode(
     sot_logits = graphs.hidden_to_logits(dec_params, sot_hidden)
     no_speech_prob = jax.nn.softmax(sot_logits)[cfg.no_speech]
 
-    ck_g = jnp.broadcast_to(ck, (ck.shape[0], G) + ck.shape[2:]) if G > 1 else ck
-    cv_g = jnp.broadcast_to(cv, (cv.shape[0], G) + cv.shape[2:]) if G > 1 else cv
+    # cross K/V stays at batch 1: decode_step groups all beams onto it
 
     tokens0 = jnp.broadcast_to(initial_tokens[None, :], (G, n_ctx)).astype(jnp.int32)
 
@@ -427,8 +426,8 @@ def fused_decode(
             st.n_tokens - 1,
             st.cache,
             st.src,
-            ck_g,
-            cv_g,
+            ck,
+            cv,
             n_head=n_head,
         )
         st = st._replace(cache=cache, src=jnp.arange(G, dtype=jnp.int32))

@@ -288,14 +288,18 @@ def hidden_to_logits(dec, hidden):
 def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head):
     """One autoregressive decoder step for all beams.
 
-    tokens: (beam,) int32 — tokens sampled at the previous step
+    tokens: (B,) int32 — tokens sampled at the previous step, B = n_audio*group
     pos:    scalar int32 — cache slot to write (== number of tokens so far)
-    cache:  (L, 2, beam, CACHE_SLOTS, d) — donated self-attention K/V cache
-    src:    (beam,) int32 — beam reorder indices from the previous beam-search
+    cache:  (L, 2, B, CACHE_SLOTS, d) — donated self-attention K/V cache
+    src:    (B,) int32 — beam reorder indices from the previous beam-search
             update, fused into this graph as a gather (identity for greedy)
-    ck/cv:  (L, 1 or beam, H, 1500, dh)
+    ck/cv:  (L, Bc, H, 1500, dh) with B % Bc == 0 — the cross K/V is stored
+            once per AUDIO and shared by that audio's beam group (audio-major
+            batch layout), never replicated per beam: the reference instead
+            keeps one arrayCK/CV per decode at fixed beam batch
+            (coreml.mm:122-169)
 
-    Returns (logits (beam, n_vocab) f32, new cache).
+    Returns (logits (B, n_vocab) f32, new cache).
     """
     blocks = dec["blocks"]
     dtype = blocks["attn_q_w"].dtype
@@ -334,8 +338,20 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head):
         wv = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(beam, 1, d)
         x = x + wv @ blk["attn_o_w"] + blk["attn_o_b"]
 
-        attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
-        x = x + attn
+        # cross attention grouped by audio: ck_l/cv_l are (Bc, H, T, dh) with
+        # group = beam // Bc query rows sharing each audio's K/V
+        hc = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
+        qc = (hc @ blk["cross_q_w"] + blk["cross_q_b"])[:, 0]  # (beam, d)
+        Bc = ck_l.shape[0]
+        group = beam // Bc
+        qc = (qc * (dh**-0.5)).reshape(Bc, group, n_head, dh)
+        cscores = jnp.einsum(
+            "bghd,bhkd->bghk", qc, ck_l, preferred_element_type=jnp.float32
+        )
+        cw = jax.nn.softmax(cscores, axis=-1).astype(dtype)
+        cwv = jnp.einsum("bghk,bhkd->bghd", cw, cv_l).reshape(beam, 1, d)
+        x = x + cwv @ blk["cross_o_w"] + blk["cross_o_b"]
+
         x = x + _mlp(x, blk)
         return x, cache_l
 
