@@ -49,10 +49,10 @@ def make_state(rng, n_tokens, step, fcount=0):
         src=jnp.arange(G, dtype=jnp.int32),
         sum_logprobs=jnp.asarray(rng.randn(G).astype(np.float32) * (step > 0)),
         completed=jnp.bool_(False),
-        finished_tokens=jnp.zeros((MAX_CAND, T + 1), jnp.int32),
-        finished_scores=jnp.full((MAX_CAND,), -jnp.inf, jnp.float32),
-        finished_lengths=jnp.zeros((MAX_CAND,), jnp.int32),
-        finished_count=jnp.int32(fcount),
+        finished_tokens=jnp.zeros((1, MAX_CAND, T + 1), jnp.int32),
+        finished_scores=jnp.full((1, MAX_CAND), -jnp.inf, jnp.float32),
+        finished_lengths=jnp.zeros((1, MAX_CAND), jnp.int32),
+        finished_count=jnp.full((1,), fcount, jnp.int32),
         rng=jax.random.PRNGKey(0),
     )
     return state
@@ -83,6 +83,7 @@ def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
 
     cfg = FusedConfig(
         n_group=G,
+        n_audio=1,
         beam_search=True,
         use_timestamps=use_ts,
         max_candidates=MAX_CAND,
@@ -125,10 +126,10 @@ def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
         jnp.asarray(logits),
         state.tokens,
         state.sum_logprobs,
-        state.finished_tokens,
-        state.finished_scores,
-        state.finished_lengths,
-        state.finished_count,
+        state.finished_tokens[0],
+        state.finished_scores[0],
+        state.finished_lengths[0],
+        state.finished_count[0],
         state.n_tokens,
         jnp.int32(sample_begin),
         state.step,
@@ -144,13 +145,13 @@ def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
     np.testing.assert_allclose(
         np.asarray(k_lp), np.asarray(ref.sum_logprobs), rtol=0, atol=2e-5
     )
-    assert int(k_fcount) == int(ref.finished_count)
+    assert int(k_fcount) == int(ref.finished_count[0])
     assert bool(k_completed) == bool(ref.completed)
     nf = int(k_fcount)
     for i in range(nf):
         ln = int(k_flen[i])
-        assert ln == int(ref.finished_lengths[i])
+        assert ln == int(ref.finished_lengths[0, i])
         assert np.array_equal(
-            np.asarray(k_ftok)[i, :ln], np.asarray(ref.finished_tokens)[i, :ln]
+            np.asarray(k_ftok)[i, :ln], np.asarray(ref.finished_tokens)[0, i, :ln]
         )
-        assert abs(float(k_fscore[i]) - float(ref.finished_scores[i])) < 2e-5
+        assert abs(float(k_fscore[i]) - float(ref.finished_scores[0, i])) < 2e-5

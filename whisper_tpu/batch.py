@@ -98,22 +98,39 @@ def transcribe_batch(
         groups = {}
         for i, p in enumerate(prompts):
             groups.setdefault(tuple(p), []).append(i)
-        for prompt, idxs in groups.items():
-            opts = DecodingOptions(
-                language=lang, task=task, temperature=t, prompt=list(prompt) or None, **kwargs
-            )
-            task_obj = DecodingTask(model, opts)
-            out = task_obj.run(mels[idxs])
-            for i, r in zip(idxs, out):
-                results[i] = r
+        # heterogeneous prompts split the batch into variable-size groups;
+        # route those through the host loop so the fused engine (whose
+        # compiled graph is keyed on n_audio) doesn't recompile per group
+        fuse_ok = len(groups) == 1
+        prev_fused = getattr(model, "use_fused_decode", True)
+        model.use_fused_decode = prev_fused and fuse_ok
+        try:
+            for prompt, idxs in groups.items():
+                opts = DecodingOptions(
+                    language=lang, task=task, temperature=t,
+                    prompt=list(prompt) or None, **kwargs
+                )  # fmt: skip
+                task_obj = DecodingTask(model, opts)
+                out = task_obj.run(mels[idxs])
+                for i, r in zip(idxs, out):
+                    results[i] = r
+        finally:
+            model.use_fused_decode = prev_fused
         return results
 
     while any(not s.done for s in streams):
-        active = [s for s in streams if not s.done]
+        # keep EVERY stream in the batch so the compiled graph shapes stay
+        # constant (finished streams decode a silent window whose result is
+        # discarded); the fused engine is keyed on n_audio
+        active = streams
 
         # stream windows and per-stream prompts
         windows, prompts = [], []
         for s in active:
+            if s.done:
+                windows.append(np.zeros((s.mel.shape[0], N_FRAMES), np.float32))
+                prompts.append([])
+                continue
             segment_size = min(N_FRAMES, s.content_frames - s.seek)
             window = pad_or_trim(s.mel[:, s.seek : s.seek + segment_size], N_FRAMES)
             windows.append(window.astype(np.float32))
@@ -160,6 +177,8 @@ def transcribe_batch(
 
         # window bookkeeping per stream
         for s, result in zip(active, results):
+            if s.done:
+                continue
             segment_size = min(N_FRAMES, s.content_frames - s.seek)
             time_offset = float(s.seek * HOP_LENGTH / SAMPLE_RATE)
             tokenizer = get_tokenizer(

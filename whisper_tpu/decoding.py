@@ -156,8 +156,8 @@ class Inference:
 
     def logits(self, tokens: np.ndarray) -> np.ndarray:
         """tokens: (n_batch, cur_len) full sequences. Returns last-position
-        logits (n_batch, n_vocab) float32. On the first call also stores
-        sot-position logits in self.sot_logits (for no-speech probability)."""
+        logits (n_batch, n_vocab) float32. The first call runs the prefill
+        and keeps its hidden states for logits_at() (no-speech probability)."""
         n_batch = tokens.shape[0]
         n_audio = n_batch // self.n_group
 
@@ -313,13 +313,19 @@ class BeamSearchDecoder(TokenDecoder):
             scores, sources, finished = {}, {}, {}
 
             # enumerate candidates: top (beam+1) continuations of each beam.
-            # np.argsort is stable, so exact ties keep ascending-index order —
-            # matching torch.topk and the reference's dict insertion order.
+            # argpartition prunes the vocab, then a stable sort of the small
+            # head keeps exact tie order (ascending index on equal values —
+            # matching torch.topk and the reference's dict insertion order).
+            # The partition boundary only mis-selects if >8 entries tie at
+            # the cut value, which finite f32 logits don't do in practice.
+            k = self.beam_size + 1
             for j in range(self.beam_size):
                 idx = i * self.beam_size + j
                 prefix = tokens[idx].tolist()
                 row = logprobs[idx]
-                topk_idx = np.argsort(-row, kind="stable")[: self.beam_size + 1]
+                head = np.argpartition(-row, k + 8)[: k + 8 + 1]
+                head = head[np.lexsort((head, -row[head]))]
+                topk_idx = head[:k]
                 for token in topk_idx:
                     new_logprob = float(sum_logprobs[idx] + row[token])
                     sequence = tuple(prefix + [int(token)])
@@ -617,12 +623,11 @@ class DecodingTask:
         return languages, lang_probs
 
     def _can_fuse(self, n_audio: int) -> bool:
-        """The fused on-device loop handles the single-window case (which is
-        what transcribe() issues); batched multi-audio decode and lang_id use
-        the host loop."""
+        """The fused on-device loop handles single- and multi-stream batches
+        (the compiled graph is keyed on n_audio, so callers should keep batch
+        sizes stable); lang_id uses the host path."""
         return (
-            n_audio == 1
-            and getattr(self.model, "use_fused_decode", True)
+            getattr(self.model, "use_fused_decode", True)
             and len(self.initial_tokens) <= 256
         )
 
@@ -665,9 +670,9 @@ class DecodingTask:
             flen,
             fcount,
         ) = engine.run(
-            # tokens[0] rather than self.initial_tokens: language detection
-            # may have overwritten the language token slot
-            [int(t) for t in tokens[0]],
+            # per-audio rows rather than self.initial_tokens: language
+            # detection may have overwritten the language token slot
+            tokens[:: self.n_group].astype(np.int32),
             self.inference.ck,
             self.inference.cv,
             sot_index=self.sot_index,
@@ -690,19 +695,24 @@ class DecodingTask:
         )
 
         n = int(n_tokens)
-        tokens = out_tokens[:, :n].astype(np.int64)
+        tokens = out_tokens[:, :n].astype(np.int64)  # (n_audio*n_group, n)
         sum_logprobs = sum_logprobs.astype(np.float64)
-        no_speech = (
-            float(no_speech_prob) if tokenizer.no_speech is not None else np.nan
-        )
-        no_speech_probs = [no_speech] * self.n_group
+        if tokenizer.no_speech is not None:
+            no_speech_probs = [
+                float(p) for p in no_speech_prob for _ in range(self.n_group)
+            ]
+        else:
+            no_speech_probs = [np.nan] * tokens.shape[0]
 
         if beam_search:
-            finished = {}
-            for i in range(int(fcount)):
-                seq = tuple(int(t) for t in ftok[i, : int(flen[i])])
-                finished[seq] = float(fscore[i])
-            self.decoder.finished_sequences = [finished]
+            pools = []
+            for a in range(ftok.shape[0]):
+                finished = {}
+                for i in range(int(fcount[a])):
+                    seq = tuple(int(t) for t in ftok[a, i, : int(flen[a, i])])
+                    finished[seq] = float(fscore[a, i])
+                pools.append(finished)
+            self.decoder.finished_sequences = pools
 
         return tokens, sum_logprobs, no_speech_probs
 

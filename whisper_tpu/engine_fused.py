@@ -36,6 +36,7 @@ class FusedConfig(NamedTuple):
     """Static configuration (part of the jit cache key)."""
 
     n_group: int
+    n_audio: int  # independent streams decoded in one batch (audio-major)
     beam_search: bool  # False -> greedy/sampling
     use_timestamps: bool
     max_candidates: int  # round(beam * patience); 0 for greedy
@@ -45,8 +46,9 @@ class FusedConfig(NamedTuple):
     no_speech: int
     sot_index_is_dynamic: bool = True
     # run the whole per-step beam update (filters + top-k + ranking +
-    # finished pool) as ONE Pallas kernel instead of ~25 XLA ops — the
-    # per-iteration op count, not FLOPs, dominates loop cost (TODO.md)
+    # finished pool) as ONE Pallas kernel instead of ~25 XLA ops; measured
+    # speed-neutral (the cost is real full-vocab VPU passes, TODO.md) so it
+    # stays opt-in
     pallas_beam: bool = False
     pallas_interpret: bool = False  # interpret mode off-TPU
 
@@ -54,15 +56,15 @@ class FusedConfig(NamedTuple):
 class FusedState(NamedTuple):
     step: jnp.ndarray  # i32 — sampling step
     n_tokens: jnp.ndarray  # i32 — current sequence length
-    tokens: jnp.ndarray  # (G, 448) i32
-    cache: jnp.ndarray  # (L, 2, G, 448, d)
-    src: jnp.ndarray  # (G,) i32 — pending beam reorder
-    sum_logprobs: jnp.ndarray  # (G,) f32
-    completed: jnp.ndarray  # bool
-    finished_tokens: jnp.ndarray  # (max_cand, 449) i32
-    finished_scores: jnp.ndarray  # (max_cand,) f32
-    finished_lengths: jnp.ndarray  # (max_cand,) i32
-    finished_count: jnp.ndarray  # i32
+    tokens: jnp.ndarray  # (B, 448) i32, B = n_audio*n_group, audio-major
+    cache: jnp.ndarray  # (L, 2, B, 448, d)
+    src: jnp.ndarray  # (B,) i32 — pending beam reorder (global rows)
+    sum_logprobs: jnp.ndarray  # (B,) f32
+    completed: jnp.ndarray  # bool — all audios done
+    finished_tokens: jnp.ndarray  # (A, max_cand, 449) i32
+    finished_scores: jnp.ndarray  # (A, max_cand) f32
+    finished_lengths: jnp.ndarray  # (A, max_cand) i32
+    finished_count: jnp.ndarray  # (A,) i32
     rng: jnp.ndarray  # PRNG key (greedy sampling)
 
 
@@ -153,7 +155,7 @@ def _apply_filters(
 
 
 def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
-    G = cfg.n_group
+    G = logits.shape[0]  # flat batch (n_audio * n_group)
     # temperature is a traced scalar so one compiled graph serves the whole
     # fallback ladder; the RNG + categorical branch only EXECUTES when t > 0
     # (unconditional threefry sampling over the vocab costs ~1 ms/token)
@@ -191,78 +193,103 @@ def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
 
 
 def _beam_update(logits, state: FusedState, cfg: FusedConfig):
-    """One BeamSearchDecoder.update (decoding.py:350-409) on device."""
-    G = cfg.n_group
+    """One BeamSearchDecoder.update (decoding.py:350-409) on device,
+    vectorized over n_audio independent sampling groups (the flat batch is
+    audio-major: row = audio * G + beam). Per-audio finished pools mirror the
+    reference's per-audio dicts; like the reference, finished audios keep
+    stepping harmlessly until all audios reach capacity."""
+    A, G = cfg.n_audio, cfg.n_group
     K = G + 1  # candidates per beam
-    logprobs = jax.nn.log_softmax(logits, axis=-1)  # (G, V) f32
+    B = A * G
+    n_cand = G * K
+    logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B, V) f32
 
     # per-beam top-(G+1): ties at lower token index first (torch.topk order)
-    top_lp, top_tok = jax.lax.top_k(logprobs, K)  # (G, K)
-    cand_scores = state.sum_logprobs[:, None] + top_lp  # (G, K)
+    top_lp, top_tok = jax.lax.top_k(logprobs, K)  # (B, K)
+    cand_scores = (state.sum_logprobs[:, None] + top_lp).reshape(A, n_cand)
+    cand_tokens = top_tok.reshape(A, n_cand)
 
-    # step 0: all beams are identical; the reference's dict keyed on the full
-    # sequence collapses duplicates, leaving exactly beam 0's candidates
+    # step 0: all beams of an audio are identical; the reference's dict keyed
+    # on the full sequence collapses duplicates, leaving beam 0's candidates
     is_first = state.step == 0
-    cand_scores = jnp.where(
-        is_first & (jnp.arange(G)[:, None] > 0), NEG_INF, cand_scores
-    )
+    cand_beam = jnp.tile(jnp.repeat(jnp.arange(G), K)[None, :], (A, 1))  # (A, n_cand)
+    cand_scores = jnp.where(is_first & (cand_beam > 0), NEG_INF, cand_scores)
 
-    # global ranking: flat top-k index order == (beam-major, then per-beam
-    # rank) == the reference's dict insertion order on score ties
-    flat_scores = cand_scores.reshape(-1)  # (G*K,)
-    flat_tokens = top_tok.reshape(-1)
-    order_scores, order_idx = jax.lax.top_k(flat_scores, G * K)  # sorted desc
-    order_tokens = flat_tokens[order_idx]
-    order_src = (order_idx // K).astype(jnp.int32)
+    # global ranking per audio: flat top-k index order == (beam-major, then
+    # per-beam rank) == the reference's dict insertion order on score ties
+    order_scores, order_idx = jax.lax.top_k(cand_scores, n_cand)  # (A, n_cand)
+    order_tokens = jnp.take_along_axis(cand_tokens, order_idx, axis=1)
+    order_src = (order_idx // K).astype(jnp.int32)  # per-audio beam index
 
-    is_eot = order_tokens == cfg.eot
-    live_rank = jnp.cumsum(~is_eot) - 1  # rank among non-EOT, valid where ~is_eot
+    is_eot = order_tokens == cfg.eot  # (A, n_cand)
+    not_eot = (~is_eot).astype(jnp.int32)
+    live_incl = jnp.cumsum(not_eot, axis=1)
+    live_before = live_incl - not_eot
+    live_rank = live_incl - 1  # valid where ~is_eot
     # the sorted walk stops once beam_size live candidates are saved: an EOT
     # candidate is collected only if fewer than beam_size live ones precede it
-    live_before = jnp.cumsum(jnp.concatenate([jnp.zeros(1, jnp.int32), (~is_eot).astype(jnp.int32)[:-1]]))
     eot_collected = is_eot & (live_before < G)
 
-    # select the first G live candidates
-    select_pos = jnp.where(~is_eot, live_rank, G * K)  # live candidates' slots
-    # slot_source[b] = index into order_* arrays for new beam b
-    slot_source = jnp.argmax(select_pos[None, :] == jnp.arange(G)[:, None], axis=1)
+    # select the first G live candidates per audio
+    select_pos = jnp.where(~is_eot, live_rank, n_cand)  # (A, n_cand)
+    slot_source = jnp.argmax(
+        select_pos[:, None, :] == jnp.arange(G)[None, :, None], axis=2
+    )  # (A, G) index into order_* arrays
 
-    new_scores = order_scores[slot_source]  # (G,)
-    new_tokens = order_tokens[slot_source].astype(jnp.int32)
-    new_src = order_src[slot_source]  # beam reorder for cache/tokens
+    new_scores = jnp.take_along_axis(order_scores, slot_source, axis=1)  # (A, G)
+    new_tokens = jnp.take_along_axis(order_tokens, slot_source, axis=1).astype(jnp.int32)
+    new_src_local = jnp.take_along_axis(order_src, slot_source, axis=1)  # (A, G)
+    # global row indices for the cache/token gathers
+    new_src = (new_src_local + jnp.arange(A)[:, None] * G).reshape(B)
 
     tokens = state.tokens[new_src]
-    tokens = jax.lax.dynamic_update_slice(tokens, new_tokens[:, None], (0, state.n_tokens))
-
-    # fold newly finished sequences into the patience-capped buffer in rank
-    # order while capacity remains — one vectorized scatter over the (G*K)
-    # candidate slots (order is preserved because slots are assigned by
-    # cumulative count)
-    n_cand = G * K
-    prior_collected = jnp.cumsum(
-        jnp.concatenate([jnp.zeros(1, jnp.int32), eot_collected.astype(jnp.int32)[:-1]])
+    tokens = jax.lax.dynamic_update_slice(
+        tokens, new_tokens.reshape(B, 1), (0, state.n_tokens)
     )
-    slot = state.finished_count + prior_collected  # (n_cand,)
-    take = eot_collected & (slot < cfg.max_candidates)
-    write_row = jnp.where(take, slot, cfg.max_candidates)  # max_candidates = dropped
 
-    seqs = state.tokens[order_src]  # (n_cand, 448) prefixes before this step
-    seqs = jnp.pad(seqs, ((0, 0), (0, 1)))  # (n_cand, 449)
-    eot_col = jnp.broadcast_to(jnp.int32(cfg.eot), (n_cand, 1))
+    # fold newly finished sequences into the per-audio patience-capped
+    # buffers, in rank order, while capacity remains
+    prior_collected = jnp.cumsum(eot_collected.astype(jnp.int32), axis=1) - eot_collected.astype(jnp.int32)
+    slot = state.finished_count[:, None] + prior_collected  # (A, n_cand)
+    take = eot_collected & (slot < cfg.max_candidates)
+    MC = state.finished_tokens.shape[1]
+    # flat scatter rows: audio * MC + slot (OOB rows dropped)
+    write_row = jnp.where(
+        take, jnp.arange(A)[:, None] * MC + slot, A * MC
+    ).reshape(A * n_cand)
+
+    src_global = (order_src + jnp.arange(A)[:, None] * G).reshape(A * n_cand)
+    seqs = state.tokens[src_global]  # (A*n_cand, T) prefixes before this step
+    seqs = jnp.pad(seqs, ((0, 0), (0, 1)))  # (A*n_cand, T+1)
+    eot_col = jnp.broadcast_to(jnp.int32(cfg.eot), (A * n_cand, 1))
     seqs = jax.lax.dynamic_update_slice(seqs, eot_col, (0, state.n_tokens))
 
-    ftok = state.finished_tokens.at[write_row].set(seqs, mode="drop")
-    fscore = state.finished_scores.at[write_row].set(order_scores, mode="drop")
-    flen = state.finished_lengths.at[write_row].set(
-        jnp.broadcast_to(state.n_tokens + 1, (n_cand,)), mode="drop"
+    T1 = state.finished_tokens.shape[2]
+    ftok = (
+        state.finished_tokens.reshape(A * MC, T1)
+        .at[write_row]
+        .set(seqs, mode="drop")
+        .reshape(A, MC, T1)
     )
-    fcount = state.finished_count + jnp.sum(take.astype(jnp.int32))
+    fscore = (
+        state.finished_scores.reshape(A * MC)
+        .at[write_row]
+        .set(order_scores.reshape(A * n_cand), mode="drop")
+        .reshape(A, MC)
+    )
+    flen = (
+        state.finished_lengths.reshape(A * MC)
+        .at[write_row]
+        .set(jnp.broadcast_to(state.n_tokens + 1, (A * n_cand,)), mode="drop")
+        .reshape(A, MC)
+    )
+    fcount = state.finished_count + jnp.sum(take.astype(jnp.int32), axis=1)
 
-    completed = fcount >= cfg.max_candidates
+    completed = jnp.all(fcount >= cfg.max_candidates)
     return state._replace(
         tokens=tokens,
         n_tokens=state.n_tokens + 1,
-        sum_logprobs=new_scores,
+        sum_logprobs=new_scores.reshape(B),
         completed=completed,
         src=new_src,
         finished_tokens=ftok,
@@ -274,10 +301,10 @@ def _beam_update(logits, state: FusedState, cfg: FusedConfig):
 
 def fused_decode(
     dec_params,
-    initial_tokens,  # (448,) i32, padded; first `sample_begin` entries valid
+    initial_tokens,  # (A, 448) i32, padded; first `sample_begin` cols valid
     sample_begin,  # i32 scalar
     ck,
-    cv,  # (L, 1, H, 1500, dh)
+    cv,  # (L, A, H, 1500, dh)
     sot_index,  # i32 scalar (for the no-speech probability)
     suppress_mask,  # (V,) bool
     blank_suppress_mask,  # (V,) bool
@@ -290,33 +317,33 @@ def fused_decode(
     cfg: FusedConfig,
     cache_dtype,
 ):
-    """Returns (tokens (G, 448), n_tokens, sum_logprobs (G,), no_speech_prob,
-    finished_tokens, finished_scores, finished_lengths, finished_count)."""
-    G = cfg.n_group
+    """Returns (tokens (B, 448), n_tokens, sum_logprobs (B,), no_speech (A,),
+    finished_tokens (A, MC, 449), finished_scores, finished_lengths,
+    finished_count (A,)) with B = n_audio*n_group audio-major."""
+    A, G = cfg.n_audio, cfg.n_group
+    B = A * G
     n_ctx = graphs.CACHE_SLOTS
     d = dec_params["tok_emb"].shape[1]
     L = dec_params["blocks"]["attn_q_w"].shape[0]
 
-    # ---- prefill (once; beams are identical before sampling) ----
-    prefill_tokens = initial_tokens[None, : graphs.PREFILL_LEN]
+    # ---- prefill (once per audio; beams are identical before sampling) ----
+    prefill_tokens = initial_tokens[:, : graphs.PREFILL_LEN]  # (A, P)
     hidden, kv = graphs.prefill(
         dec_params, prefill_tokens, sample_begin, ck, cv, n_head=n_head
     )
-    cache = jnp.zeros((L, 2, G, n_ctx, d), dtype=cache_dtype)
-    kv_b = jnp.broadcast_to(
-        kv.astype(cache_dtype), (L, 2, G, graphs.PREFILL_LEN, d)
-    )
+    cache = jnp.zeros((L, 2, B, n_ctx, d), dtype=cache_dtype)
+    kv_b = jnp.repeat(kv.astype(cache_dtype), G, axis=2)  # (L, 2, B, P, d)
     cache = jax.lax.dynamic_update_slice(cache, kv_b, (0, 0, 0, 0, 0))
 
-    last_hidden = hidden[0, sample_begin - 1]  # (d,)
-    sot_hidden = hidden[0, sot_index]
-    first_logits = graphs.hidden_to_logits(dec_params, last_hidden)  # (V,)
+    last_hidden = hidden[:, sample_begin - 1]  # (A, d)
+    sot_hidden = hidden[:, sot_index]
+    first_logits = graphs.hidden_to_logits(dec_params, last_hidden)  # (A, V)
     sot_logits = graphs.hidden_to_logits(dec_params, sot_hidden)
-    no_speech_prob = jax.nn.softmax(sot_logits)[cfg.no_speech]
+    no_speech_prob = jax.nn.softmax(sot_logits, axis=-1)[:, cfg.no_speech]  # (A,)
 
-    # cross K/V stays at batch 1: decode_step groups all beams onto it
+    # cross K/V stays one-per-audio: decode_step groups each audio's beams
 
-    tokens0 = jnp.broadcast_to(initial_tokens[None, :], (G, n_ctx)).astype(jnp.int32)
+    tokens0 = jnp.repeat(initial_tokens.astype(jnp.int32), G, axis=0)  # (B, 448)
 
     max_cand = max(cfg.max_candidates, 1)
     state = FusedState(
@@ -324,13 +351,13 @@ def fused_decode(
         n_tokens=sample_begin,
         tokens=tokens0,
         cache=cache,
-        src=jnp.arange(G, dtype=jnp.int32),
-        sum_logprobs=jnp.zeros((G,), jnp.float32),
+        src=jnp.arange(B, dtype=jnp.int32),
+        sum_logprobs=jnp.zeros((B,), jnp.float32),
         completed=jnp.bool_(False),
-        finished_tokens=jnp.zeros((max_cand, n_ctx + 1), jnp.int32),
-        finished_scores=jnp.full((max_cand,), -jnp.inf, jnp.float32),
-        finished_lengths=jnp.zeros((max_cand,), jnp.int32),
-        finished_count=jnp.int32(0),
+        finished_tokens=jnp.zeros((A, max_cand, n_ctx + 1), jnp.int32),
+        finished_scores=jnp.full((A, max_cand), -jnp.inf, jnp.float32),
+        finished_lengths=jnp.zeros((A, max_cand), jnp.int32),
+        finished_count=jnp.zeros((A,), jnp.int32),
         rng=jax.random.PRNGKey(rng_seed),
     )
 
@@ -373,10 +400,10 @@ def fused_decode(
                 logits_f32,
                 st.tokens,
                 st.sum_logprobs,
-                st.finished_tokens,
-                st.finished_scores,
-                st.finished_lengths,
-                st.finished_count,
+                st.finished_tokens[0],  # kernel is single-audio (A == 1)
+                st.finished_scores[0],
+                st.finished_lengths[0],
+                st.finished_count[0],
                 st.n_tokens,
                 sample_begin,
                 st.step,
@@ -391,10 +418,10 @@ def fused_decode(
                 sum_logprobs=new_lp,
                 completed=completed,
                 src=src,
-                finished_tokens=ftok,
-                finished_scores=fscore,
-                finished_lengths=flen,
-                finished_count=fcount,
+                finished_tokens=ftok[None],
+                finished_scores=fscore[None],
+                finished_lengths=flen[None],
+                finished_count=fcount[None],
             )
 
         filtered = _apply_filters(
@@ -411,15 +438,16 @@ def fused_decode(
             return _beam_update(filtered, st, cfg)
         return _greedy_update(filtered, st, temperature, cfg)
 
-    # step 0 uses the prefill's last-position logits
-    state = apply_update(jnp.broadcast_to(first_logits[None, :], (G,) + first_logits.shape), state)
+    # step 0 uses the prefill's last-position logits (per audio, repeated
+    # across the audio's group)
+    state = apply_update(jnp.repeat(first_logits, G, axis=0), state)
     state = state._replace(step=jnp.int32(1))
 
     def cond(st: FusedState):
         return (~st.completed) & (st.step < sample_len) & (st.n_tokens < n_ctx)
 
     def body(st: FusedState):
-        step_toks = st.tokens[jnp.arange(G), st.n_tokens - 1]
+        step_toks = st.tokens[jnp.arange(B), st.n_tokens - 1]
         logits, cache = graphs.decode_step(
             dec_params,
             step_toks,
@@ -430,7 +458,7 @@ def fused_decode(
             cv,
             n_head=n_head,
         )
-        st = st._replace(cache=cache, src=jnp.arange(G, dtype=jnp.int32))
+        st = st._replace(cache=cache, src=jnp.arange(B, dtype=jnp.int32))
         st = apply_update(logits, st)
         return st._replace(step=st.step + 1)
 
@@ -494,12 +522,21 @@ class FusedEngine:
 
         V = self.model.dims.n_vocab
         n_ctx = graphs.CACHE_SLOTS
+        # initial_tokens: one token list shared by all audios, or an
+        # (n_audio, len) array (rows may differ e.g. after language detection)
+        initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
+        if initial_tokens.ndim == 1:
+            initial_tokens = initial_tokens[None, :]
+        n_audio, n_initial = initial_tokens.shape
+
         # opt-in: the fused-update Pallas kernel matches the jnp path bit-for-bit
         # but measured the SAME speed (the cost is ~40 real VPU passes over the
-        # 52k vocab, not op-dispatch overhead — see TODO.md); default off
+        # 52k vocab, not op-dispatch overhead — see TODO.md); default off.
+        # The kernel is single-audio.
         pallas_beam = os.environ.get("WHISPER_TPU_PALLAS_BEAM", "0") == "1"
         cfg = FusedConfig(
             n_group=n_group,
+            n_audio=n_audio,
             beam_search=beam_search,
             use_timestamps=use_timestamps,
             max_candidates=max_candidates if beam_search else 0,
@@ -507,13 +544,13 @@ class FusedEngine:
             timestamp_begin=timestamp_begin,
             no_timestamps=no_timestamps,
             no_speech=no_speech,
-            pallas_beam=pallas_beam and beam_search,
+            pallas_beam=pallas_beam and beam_search and n_audio == 1,
             pallas_interpret=jax.default_backend() != "tpu",
         )
         fn = self._get(cfg)
 
-        toks = np.zeros(n_ctx, dtype=np.int32)
-        toks[: len(initial_tokens)] = initial_tokens
+        toks = np.zeros((n_audio, n_ctx), dtype=np.int32)
+        toks[:, :n_initial] = initial_tokens
         suppress_mask = np.zeros(V, dtype=bool)
         suppress_mask[list(suppress_ids)] = True
         blank_mask = np.zeros(V, dtype=bool)
@@ -525,7 +562,7 @@ class FusedEngine:
             out = fn(
                 self.model.params["decoder"],
                 jnp.asarray(toks),
-                jnp.int32(len(initial_tokens)),
+                jnp.int32(n_initial),
                 ck,
                 cv,
                 jnp.int32(sot_index),
