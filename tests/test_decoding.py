@@ -145,3 +145,16 @@ def test_lang_id_task(tpu_model, mel):
     assert len(res.language_probs) == 99
     assert res.tokens == []
     assert res.text == ""
+
+
+def test_batched_beam_decode(tpu_model, mel):
+    """Batched beam search (fused multi-audio path) matches per-window."""
+    mel2 = np.stack([mel, np.roll(mel, 57, axis=-1)])
+    batch = decode(tpu_model, mel2, DecodingOptions(language="en", beam_size=3, sample_len=25))
+    singles = [
+        decode(tpu_model, mel2[i], DecodingOptions(language="en", beam_size=3, sample_len=25))
+        for i in range(2)
+    ]
+    for b, s in zip(batch, singles):
+        assert b.tokens == s.tokens
+        assert abs(b.no_speech_prob - s.no_speech_prob) < 1e-5

@@ -457,6 +457,8 @@ def fused_decode(
             ck,
             cv,
             n_head=n_head,
+            # greedy never permutes beams: skip the whole-cache gather copy
+            reorder=cfg.beam_search,
         )
         st = st._replace(cache=cache, src=jnp.arange(B, dtype=jnp.int32))
         st = apply_update(logits, st)

@@ -285,7 +285,7 @@ def hidden_to_logits(dec, hidden):
 # ---------------------------------------------------------------------------
 
 
-def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head):
+def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     """One autoregressive decoder step for all beams.
 
     tokens: (B,) int32 — tokens sampled at the previous step, B = n_audio*group
@@ -307,7 +307,8 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head):
     d = dec["tok_emb"].shape[1]
     dh = d // n_head
 
-    cache = jnp.take(cache, src, axis=2)
+    if reorder:  # static: greedy decoding never permutes, skip the cache copy
+        cache = jnp.take(cache, src, axis=2)
 
     x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
