@@ -58,6 +58,7 @@ def make_state(rng, n_tokens, step, fcount=0):
     return state
 
 
+@pytest.mark.parametrize("single_pass", [True, False])
 @pytest.mark.parametrize(
     "n_tokens, step, boost_eot, use_ts",
     [
@@ -68,7 +69,7 @@ def make_state(rng, n_tokens, step, fcount=0):
         (3, 0, False, False),
     ],
 )
-def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
+def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts, single_pass):
     rng = np.random.RandomState(step * 7 + n_tokens)
     state = make_state(rng, n_tokens, step)
 
@@ -113,6 +114,7 @@ def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
     kcfg = BeamKernelConfig(
         G=G, V=V, T=T, max_cand=MAX_CAND, eot=EOT,
         timestamp_begin=TS_BEGIN, use_timestamps=use_ts,
+        single_pass=single_pass,
     )  # fmt: skip
     suppress_pen, begin_pen = build_penalty_vectors(
         V, suppress_ids, blank_ids,
@@ -155,3 +157,86 @@ def test_kernel_matches_jnp_update(n_tokens, step, boost_eot, use_ts):
             np.asarray(k_ftok)[i, :ln], np.asarray(ref.finished_tokens)[0, i, :ln]
         )
         assert abs(float(k_fscore[i]) - float(ref.finished_scores[0, i])) < 2e-5
+
+
+@pytest.mark.parametrize(
+    "n_tokens, use_ts, rows, boost_ts",
+    [
+        (3, True, 5, False),   # at_begin: timestamps-only + blank suppression
+        (8, True, 5, False),
+        (8, True, 4, True),    # ts-mass rule triggers on some rows
+        (10, False, 8, False),
+        (8, True, 1, False),
+    ],
+)
+def test_greedy_kernel_matches_jnp(n_tokens, use_ts, rows, boost_ts):
+    from whisper_tpu.ops.beam_kernel import greedy_argmax_pallas
+
+    rng = np.random.RandomState(n_tokens * 13 + rows)
+    tokens = rng.randint(100, 5000, size=(rows, T)).astype(np.int32)
+    if n_tokens > 4:
+        # give rows timestamp histories covering the pairing rules
+        tokens[0, n_tokens - 1] = TS_BEGIN + 30          # force_ts_or_eot
+        if rows > 1:
+            tokens[1, n_tokens - 2] = TS_BEGIN + 7       # force_non_ts
+            tokens[1, n_tokens - 1] = TS_BEGIN + 12
+    logits = rng.randn(rows, V).astype(np.float32)
+    if boost_ts:
+        logits[0, TS_BEGIN + 40 :] += 4.0  # ts mass beats every text token
+
+    suppress_ids = [1, 2, 3, 11, 220]
+    blank_ids = [220, EOT]
+    max_initial = 50
+    sample_begin = 3
+
+    cfg = FusedConfig(
+        n_group=rows,
+        n_audio=1,
+        beam_search=False,
+        use_timestamps=use_ts,
+        max_candidates=0,
+        eot=EOT,
+        timestamp_begin=TS_BEGIN,
+        no_timestamps=NO_TS,
+        no_speech=50363,
+    )
+    suppress_mask = np.zeros(V, bool)
+    suppress_mask[suppress_ids] = True
+    blank_mask = np.zeros(V, bool)
+    blank_mask[blank_ids] = True
+
+    filtered = _apply_filters(
+        jnp.asarray(logits),
+        jnp.asarray(tokens),
+        jnp.int32(n_tokens),
+        jnp.int32(sample_begin),
+        jnp.asarray(suppress_mask),
+        jnp.asarray(blank_mask),
+        jnp.int32(max_initial),
+        cfg,
+    )
+    ref_tok = np.argmax(np.asarray(filtered), axis=-1)
+    lps = jax.nn.log_softmax(filtered, axis=-1)
+    ref_lp = np.asarray(lps)[np.arange(rows), ref_tok]
+
+    kcfg = BeamKernelConfig(
+        G=rows, V=V, T=T, max_cand=1, eot=EOT,
+        timestamp_begin=TS_BEGIN, use_timestamps=use_ts,
+    )  # fmt: skip
+    suppress_pen, begin_pen = build_penalty_vectors(
+        V, suppress_ids, blank_ids,
+        use_timestamps=use_ts, no_timestamps=NO_TS,
+        timestamp_begin=TS_BEGIN, max_initial_ts_index=max_initial,
+    )  # fmt: skip
+    k_tok, k_lp = greedy_argmax_pallas(
+        jnp.asarray(logits),
+        jnp.asarray(tokens),
+        jnp.int32(n_tokens),
+        jnp.int32(sample_begin),
+        jnp.asarray(suppress_pen),
+        jnp.asarray(begin_pen),
+        cfg=kcfg,
+        interpret=True,
+    )
+    assert np.array_equal(np.asarray(k_tok), ref_tok)
+    np.testing.assert_allclose(np.asarray(k_lp), ref_lp, rtol=0, atol=2e-5)

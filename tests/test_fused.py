@@ -57,3 +57,17 @@ def test_fused_sampling_terminates(tpu_model, mel):
         tpu_model, mel, DecodingOptions(language="en", temperature=0.7, sample_len=20)
     )
     assert 0 < len(res.tokens) <= 20
+
+
+@pytest.mark.parametrize("kw", [dict(language="en", temperature=0.0, sample_len=8)])
+def test_fused_pallas_greedy_wiring(tpu_model, mel, kw, monkeypatch):
+    """The kernel-based greedy update (interpret mode on CPU) produces the
+    same tokens as the jnp fused path end-to-end — covers the cond/finish
+    plumbing, not just the kernel math (test_beam_kernel.py)."""
+    monkeypatch.setenv("WHISPER_TPU_PALLAS_BEAM", "0")
+    tpu_model.use_fused_decode = True
+    base = decode(tpu_model, mel, DecodingOptions(**kw))
+    monkeypatch.setenv("WHISPER_TPU_PALLAS_BEAM", "1")
+    kern = decode(tpu_model, mel, DecodingOptions(**kw))
+    assert kern.tokens == base.tokens
+    assert abs(kern.avg_logprob - base.avg_logprob) < 1e-4

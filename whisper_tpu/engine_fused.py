@@ -50,6 +50,9 @@ class FusedConfig(NamedTuple):
     # speed-neutral (the cost is real full-vocab VPU passes, TODO.md) so it
     # stays opt-in
     pallas_beam: bool = False
+    # single-pass greedy kernel (filters + argmax + logsumexp in ~1 vocab
+    # pass); applies when beam_search is False and temperature == 0
+    pallas_greedy: bool = False
     pallas_interpret: bool = False  # interpret mode off-TPU
 
 
@@ -173,6 +176,12 @@ def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
 
     logprobs = jax.nn.log_softmax(logits, axis=-1)
     current = logprobs[jnp.arange(G), next_tokens]
+    return _greedy_finish(state, next_tokens, current, rng, cfg)
+
+
+def _greedy_finish(state: FusedState, next_tokens, current, rng, cfg: FusedConfig):
+    """Shared GreedyDecoder.update tail: EOT stickiness, logprob accumulation,
+    token append (reference whisper/decoding.py:280-305)."""
     last = state.tokens[:, state.n_tokens - 1]
     already_done = last == cfg.eot  # reference: tokens[:, -1] == eot
     sum_logprobs = state.sum_logprobs + jnp.where(already_done, 0.0, current)
@@ -187,7 +196,7 @@ def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
         n_tokens=state.n_tokens + 1,
         sum_logprobs=sum_logprobs,
         completed=completed,
-        src=jnp.arange(G, dtype=jnp.int32),
+        src=jnp.arange(next_tokens.shape[0], dtype=jnp.int32),
         rng=rng,
     )
 
@@ -361,8 +370,15 @@ def fused_decode(
         rng=jax.random.PRNGKey(rng_seed),
     )
 
-    if cfg.beam_search and cfg.pallas_beam:
-        from .ops.beam_kernel import BeamKernelConfig, beam_update_pallas
+    use_pallas = (cfg.beam_search and cfg.pallas_beam) or (
+        not cfg.beam_search and cfg.pallas_greedy
+    )
+    if use_pallas:
+        from .ops.beam_kernel import (
+            BeamKernelConfig,
+            beam_update_pallas,
+            greedy_argmax_pallas,
+        )
 
         V = dec_params["tok_emb"].shape[0]
         kcfg = BeamKernelConfig(
@@ -386,6 +402,44 @@ def fused_decode(
             )
 
     def apply_update(logits_f32, st):
+        if not cfg.beam_search and cfg.pallas_greedy:
+            # kernel path only at temperature == 0; sampling falls back to the
+            # XLA filters + categorical (one graph serves the fallback ladder,
+            # lax.cond executes a single branch at runtime)
+            rng, sub = jax.random.split(st.rng)
+
+            def fast(_):
+                return greedy_argmax_pallas(
+                    logits_f32,
+                    st.tokens,
+                    st.n_tokens,
+                    sample_begin,
+                    suppress_pen,
+                    begin_pen,
+                    cfg=kcfg,
+                    interpret=cfg.pallas_interpret,
+                )
+
+            def slow(_):
+                filtered = _apply_filters(
+                    logits_f32,
+                    st.tokens,
+                    st.n_tokens,
+                    sample_begin,
+                    suppress_mask,
+                    blank_suppress_mask,
+                    max_initial_ts_index,
+                    cfg,
+                )
+                nt = jax.random.categorical(
+                    sub, filtered / jnp.maximum(temperature, 1e-6)
+                ).astype(jnp.int32)
+                lps = jax.nn.log_softmax(filtered, axis=-1)
+                cur = lps[jnp.arange(filtered.shape[0]), nt]
+                return nt, cur
+
+            next_tokens, current = jax.lax.cond(temperature == 0, fast, slow, None)
+            return _greedy_finish(st, next_tokens, current, rng, cfg)
         if cfg.beam_search and cfg.pallas_beam:
             (
                 new_tokens,
@@ -531,11 +585,17 @@ class FusedEngine:
             initial_tokens = initial_tokens[None, :]
         n_audio, n_initial = initial_tokens.shape
 
-        # opt-in: the fused-update Pallas kernel matches the jnp path bit-for-bit
-        # but measured the SAME speed (the cost is ~40 real VPU passes over the
-        # 52k vocab, not op-dispatch overhead — see TODO.md); default off.
+        # The single-pass fused-update Pallas kernel (tiled region sweeps:
+        # running top-K + streaming logsumexp in ~2 vocab passes instead of
+        # ~40) matches the jnp path bit-for-bit and measured 3.46 ms/token vs
+        # 4.5 for fused beam-5 turbo. Default ON on TPU (interpret mode on CPU
+        # is too slow for tests); WHISPER_TPU_PALLAS_BEAM=0/1 overrides.
         # The kernel is single-audio.
-        pallas_beam = os.environ.get("WHISPER_TPU_PALLAS_BEAM", "0") == "1"
+        env = os.environ.get("WHISPER_TPU_PALLAS_BEAM", "")
+        if env in ("0", "1"):
+            pallas_beam = env == "1"
+        else:
+            pallas_beam = jax.default_backend() == "tpu"
         cfg = FusedConfig(
             n_group=n_group,
             n_audio=n_audio,
@@ -547,6 +607,7 @@ class FusedEngine:
             no_timestamps=no_timestamps,
             no_speech=no_speech,
             pallas_beam=pallas_beam and beam_search and n_audio == 1,
+            pallas_greedy=pallas_beam and not beam_search,
             pallas_interpret=jax.default_backend() != "tpu",
         )
         fn = self._get(cfg)
@@ -577,5 +638,8 @@ class FusedEngine:
                 jnp.float32(temperature),
                 jnp.int32(rng_seed),
             )
-            out = jax.tree.map(np.asarray, out)
+            # device_get pre-issues copy_to_host_async for every leaf before
+            # blocking: ONE pipelined round trip instead of a serial RTT per
+            # output array (8 leaves x tunnel RTT dominated end-to-end latency)
+            out = jax.device_get(out)
         return out
