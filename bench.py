@@ -96,8 +96,7 @@ def main():
         for w in range(n_windows):
             window = mel[:, w * 3000 : (w + 1) * 3000]
             xa = model.encode(window[None])
-            xa.block_until_ready()
-            trace(f"window {w}: encode done")
+            trace(f"window {w}: encode dispatched")
             ck, cv = model.cross_kv(xa)
             out = engine.run(
                 initial_tokens,
