@@ -526,6 +526,64 @@ int wtpu_pjrt_executable_num_outputs(void* client_ptr, void* exec_ptr) {
   return (int)args.num_outputs;
 }
 
+// Serialize a loaded executable to caller buffer (query size with dst=null).
+// The serialized form skips recompilation on later runs
+// (PJRT_Executable_DeserializeAndLoad) — the native analog of the XLA
+// persistent compilation cache / the reference's cached 1.5 s CoreML load.
+int64_t wtpu_pjrt_executable_serialize(void* client_ptr, void* exec_ptr,
+                                       void* dst, int64_t dst_capacity) {
+  g_error.clear();
+  auto* c = (Client*)client_ptr;
+  PJRT_LoadedExecutable_GetExecutable_Args gargs;
+  memset(&gargs, 0, sizeof(gargs));
+  gargs.struct_size = PJRT_LoadedExecutable_GetExecutable_Args_STRUCT_SIZE;
+  gargs.loaded_executable = (PJRT_LoadedExecutable*)exec_ptr;
+  if (consume_error(c->api, c->api->PJRT_LoadedExecutable_GetExecutable(&gargs),
+                    "GetExecutable")) {
+    return -1;
+  }
+  PJRT_Executable_Serialize_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Executable_Serialize_Args_STRUCT_SIZE;
+  args.executable = gargs.executable;
+  if (consume_error(c->api, c->api->PJRT_Executable_Serialize(&args),
+                    "Executable_Serialize")) {
+    return -1;
+  }
+  int64_t n = (int64_t)args.serialized_bytes_size;
+  if (dst != nullptr) {
+    if (dst_capacity < n) {
+      set_error("serialize: destination too small");
+      n = -1;
+    } else {
+      memcpy(dst, args.serialized_bytes, (size_t)n);
+    }
+  }
+  if (args.serialized_executable_deleter) {
+    args.serialized_executable_deleter(args.serialized_executable);
+  }
+  return n;
+}
+
+// Load an executable serialized by wtpu_pjrt_executable_serialize (same
+// platform + plugin version required).
+void* wtpu_pjrt_executable_deserialize(void* client_ptr, const void* data,
+                                       int64_t size) {
+  g_error.clear();
+  auto* c = (Client*)client_ptr;
+  PJRT_Executable_DeserializeAndLoad_Args args;
+  memset(&args, 0, sizeof(args));
+  args.struct_size = PJRT_Executable_DeserializeAndLoad_Args_STRUCT_SIZE;
+  args.client = c->client;
+  args.serialized_executable = (const char*)data;
+  args.serialized_executable_size = (size_t)size;
+  if (consume_error(c->api, c->api->PJRT_Executable_DeserializeAndLoad(&args),
+                    "DeserializeAndLoad")) {
+    return nullptr;
+  }
+  return args.loaded_executable;
+}
+
 void wtpu_pjrt_executable_destroy(void* client_ptr, void* exec_ptr) {
   auto* c = (Client*)client_ptr;
   PJRT_LoadedExecutable_Destroy_Args args;

