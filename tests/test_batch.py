@@ -37,3 +37,26 @@ def test_batch_single_stream(tpu_model, jfk_audio):
     [res] = transcribe_batch(tpu_model, [jfk_audio], language="en", temperature=0.0)
     ref = tpu_model.transcribe(jfk_audio, language="en", temperature=0.0, verbose=None)
     assert res["text"] == ref["text"]
+
+
+def test_chunked_matches_batch(tpu_model, jfk_audio):
+    """transcribe_chunked == transcribe_batch over the same fixed chunks,
+    with segment times offset per chunk and ids renumbered."""
+    import numpy as np
+
+    from whisper_tpu.batch import transcribe_chunked
+
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    out = transcribe_chunked(
+        tpu_model, long_audio, language="en", temperature=0.0, sample_len=24
+    )
+    chunks = [long_audio[:480000], long_audio[480000:960000]]
+    refs = transcribe_batch(
+        tpu_model, chunks, language="en", temperature=0.0,
+        condition_on_previous_text=False, sample_len=24,
+    )  # fmt: skip
+    assert out["text"] == "".join(r["text"] for r in refs)
+    assert [s["id"] for s in out["segments"]] == list(range(len(out["segments"])))
+    n0 = len(refs[0]["segments"])
+    for seg, ref in zip(out["segments"][n0:], refs[1]["segments"]):
+        assert abs(seg["start"] - (ref["start"] + 30.0)) < 1e-6

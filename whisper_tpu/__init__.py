@@ -18,6 +18,7 @@ from .models.params import (
     save_params_npz,
 )
 from .models.registry import ALIGNMENT_HEADS, available_models, download_checkpoint
+from .batch import transcribe_batch, transcribe_chunked
 from .transcribe import transcribe
 from .version import __version__
 
@@ -34,6 +35,8 @@ __all__ = [
     "log_mel_spectrogram",
     "pad_or_trim",
     "transcribe",
+    "transcribe_batch",
+    "transcribe_chunked",
     "__version__",
 ]
 

@@ -257,3 +257,51 @@ def transcribe_batch(
             )
         )
     return out
+
+
+def transcribe_chunked(
+    model,
+    audio: Union[str, np.ndarray],
+    *,
+    chunk_seconds: int = 30,
+    **kwargs,
+) -> dict:
+    """Chunked transcription of ONE long audio: split at fixed boundaries and
+    decode every chunk concurrently as one batch (transcribe_batch), then
+    merge with time offsets. Latency for a long file approaches the
+    multi-stream aggregate rate instead of windows x sequential decode.
+
+    This is the batched "chunked" mode popularized by the HF pipeline /
+    faster-whisper (the reference has no equivalent — it is strictly
+    sequential, transcribe.py:626-638). The fixed boundaries mean no
+    cross-chunk conditioning and a word can straddle a boundary; for
+    maximum-fidelity output use transcribe().
+    """
+    from .audio import load_audio
+
+    if isinstance(audio, str):
+        audio = load_audio(audio)
+    audio = np.asarray(audio, dtype=np.float32)
+    chunk = chunk_seconds * SAMPLE_RATE
+    n_chunks = max(1, -(-len(audio) // chunk))
+    chunks = [audio[i * chunk : (i + 1) * chunk] for i in range(n_chunks)]
+
+    kwargs.setdefault("condition_on_previous_text", False)
+    results = transcribe_batch(model, chunks, **kwargs)
+
+    segments, idx = [], 0
+    for i, r in enumerate(results):
+        off = i * chunk_seconds
+        for seg in r["segments"]:
+            seg = dict(seg)
+            seg["id"] = idx
+            seg["start"] += off
+            seg["end"] += off
+            seg["seek"] += i * (chunk // HOP_LENGTH)
+            segments.append(seg)
+            idx += 1
+    return dict(
+        text="".join(r["text"] for r in results),
+        segments=segments,
+        language=results[0]["language"] if results else None,
+    )
