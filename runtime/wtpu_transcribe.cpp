@@ -329,17 +329,19 @@ int main(int argc, char** argv) {
   std::string dir, audio_path;
   int max_windows = 1 << 30;
   bool print_tokens = false;
+  bool beam = false;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--plugin" && i + 1 < argc) plugin = argv[++i];
     else if (a == "--max-windows" && i + 1 < argc) max_windows = atoi(argv[++i]);
     else if (a == "--tokens") print_tokens = true;
+    else if (a == "--beam") beam = true;
     else if (dir.empty()) dir = a;
     else audio_path = a;
   }
   if (dir.empty() || audio_path.empty())
     die("usage: wtpu_transcribe <pipeline_dir> <audio> [--plugin SO] "
-        "[--max-windows N] [--tokens]");
+        "[--max-windows N] [--tokens] [--beam]");
 
   Pipeline p = parse_pipeline(dir + "/pipeline.txt");
   std::vector<std::string> vocab =
@@ -392,13 +394,14 @@ int main(int argc, char** argv) {
   fprintf(stderr, "[wtpu] client up, %d device(s)\n",
           wtpu_pjrt_device_count(ctx.client));
 
+  const std::string dec_name = beam ? "fused_beam" : "fused_greedy";
   Graph enc, ckv, dec;
   enc.spec = parse_spec(dir + "/encoder.spec.txt");
   ckv.spec = parse_spec(dir + "/cross_kv.spec.txt");
-  dec.spec = parse_spec(dir + "/fused_greedy.spec.txt");
+  dec.spec = parse_spec(dir + "/" + dec_name + ".spec.txt");
   enc.exec = load_or_compile(ctx, "encoder");
   ckv.exec = load_or_compile(ctx, "cross_kv");
-  dec.exec = load_or_compile(ctx, "fused_greedy");
+  dec.exec = load_or_compile(ctx, dec_name);
   enc.params = upload_params(ctx, enc.spec, dir + "/encoder.params.bin");
   ckv.params = upload_params(ctx, ckv.spec, dir + "/decoder.params.bin");
   dec.params = upload_params(ctx, dec.spec, dir + "/decoder.params.bin");
@@ -445,38 +448,102 @@ int main(int argc, char** argv) {
         {h_toks, h_sb, kv[0], kv[1], h_sot, h_sup, h_blk, h_mx, h_slen, h_temp,
          h_seed});
 
-    // outputs: tokens (1,448) i32, n_tokens i32, ... (rest unused here)
+    // outputs: tokens (G,448) i32, n_tokens i32, sum_logprobs (G,) f32,
+    // no_speech (1,) f32, ftok (1,MC,449) i32, fscore (1,MC) f32,
+    // flen (1,MC) i32, fcount (1,) i32
+    auto fetch_i32 = [&](void* h, int32_t* dst, int64_t n, const TensorSpec& t) {
+      if (wtpu_pjrt_buffer_to_host(ctx.client, h, dst, n * 4, t.dims.data(),
+                                   (int32_t)t.dims.size()))
+        die(std::string("fetch failed: ") + wtpu_pjrt_last_error());
+    };
     std::vector<int32_t> out_toks((size_t)dec.spec.outputs[0].elems());
     int32_t n_tokens = 0;
-    if (wtpu_pjrt_buffer_to_host(ctx.client, out[0], out_toks.data(),
-                                 (int64_t)out_toks.size() * 4,
-                                 dec.spec.outputs[0].dims.data(),
-                                 (int32_t)dec.spec.outputs[0].dims.size()))
-      die(std::string("tokens fetch failed: ") + wtpu_pjrt_last_error());
-    if (wtpu_pjrt_buffer_to_host(ctx.client, out[1], &n_tokens, 4, nullptr, 0))
-      die(std::string("n_tokens fetch failed: ") + wtpu_pjrt_last_error());
+    fetch_i32(out[0], out_toks.data(), (int64_t)out_toks.size(), dec.spec.outputs[0]);
+    fetch_i32(out[1], &n_tokens, 1, dec.spec.outputs[1]);
+
+    // select the output sequence: greedy -> row 0; beam -> the reference's
+    // finalize + MaximumLikelihoodRanker (decoding.py:369-398, 215-234):
+    // finished candidates (cumulative logprob) topped up with live beams by
+    // sum_logprob, ranked by score / sampled_length (length_penalty None)
+    std::vector<int32_t> seq;  // sampled region, eot excluded
+    if (!beam) {
+      for (int32_t i = sb; i < n_tokens; i++) {
+        int32_t t = out_toks[(size_t)i];
+        if (t == (int32_t)p.eot) break;
+        seq.push_back(t);
+      }
+    } else {
+      int64_t G = dec.spec.outputs[0].dims[0];
+      int64_t MC = dec.spec.outputs[4].dims[1];
+      int64_t FT = dec.spec.outputs[4].dims[2];
+      std::vector<float> slp((size_t)G);
+      std::vector<int32_t> ftok((size_t)(MC * FT));
+      std::vector<float> fscore((size_t)MC);
+      std::vector<int32_t> flen((size_t)MC);
+      int32_t fcount = 0;
+      if (wtpu_pjrt_buffer_to_host(ctx.client, out[2], slp.data(), G * 4,
+                                   dec.spec.outputs[2].dims.data(),
+                                   (int32_t)dec.spec.outputs[2].dims.size()))
+        die(std::string("slp fetch failed: ") + wtpu_pjrt_last_error());
+      fetch_i32(out[4], ftok.data(), MC * FT, dec.spec.outputs[4]);
+      if (wtpu_pjrt_buffer_to_host(ctx.client, out[5], fscore.data(), MC * 4,
+                                   dec.spec.outputs[5].dims.data(),
+                                   (int32_t)dec.spec.outputs[5].dims.size()))
+        die(std::string("fscore fetch failed: ") + wtpu_pjrt_last_error());
+      fetch_i32(out[6], flen.data(), MC, dec.spec.outputs[6]);
+      fetch_i32(out[7], &fcount, 1, dec.spec.outputs[7]);
+
+      struct Cand { std::vector<int32_t> seq; double score; };
+      std::vector<Cand> cands;
+      for (int32_t i = 0; i < fcount; i++) {
+        Cand c;
+        for (int32_t j = sb; j < flen[(size_t)i] - 1; j++)  // drop trailing eot
+          c.seq.push_back(ftok[(size_t)(i * FT + j)]);
+        c.score = fscore[(size_t)i];
+        cands.push_back(std::move(c));
+      }
+      if ((int64_t)cands.size() < G) {
+        std::vector<int> order((size_t)G);
+        for (int b = 0; b < (int)G; b++) order[(size_t)b] = b;
+        for (size_t a = 0; a < order.size(); a++)  // stable desc by sum_logprob
+          for (size_t b = a + 1; b < order.size(); b++)
+            if (slp[(size_t)order[b]] > slp[(size_t)order[a]])
+              std::swap(order[a], order[b]);
+        for (int b : order) {
+          if ((int64_t)cands.size() >= G) break;
+          Cand c;
+          for (int32_t j = sb; j < n_tokens; j++)
+            c.seq.push_back(out_toks[(size_t)(b * dec.spec.outputs[0].dims[1] + j)]);
+          c.score = slp[(size_t)b];
+          cands.push_back(std::move(c));
+        }
+      }
+      size_t best = 0;
+      double best_score = -1e30;
+      for (size_t i = 0; i < cands.size(); i++) {
+        double len = cands[i].seq.size() > 0 ? (double)cands[i].seq.size() : 1.0;
+        double s = cands[i].score / len;
+        if (s > best_score) { best_score = s; best = i; }
+      }
+      if (!cands.empty()) seq = cands[best].seq;
+    }
 
     // detokenize + find the trailing timestamp for the seek rule
     // (transcribe.py: seek to the last timestamp if the segment ended on one)
     int64_t last_ts = -1;
     std::string wtext;
-    int32_t prev = -1;
-    for (int32_t i = sb; i < n_tokens; i++) {
-      int32_t t = out_toks[(size_t)i];
-      if (t == (int32_t)p.eot) break;
+    for (int32_t t : seq) {
       if (print_tokens) fprintf(stderr, "%d ", t);
       if (t >= (int32_t)p.timestamp_begin) {
         last_ts = t - (int64_t)p.timestamp_begin;
       } else if (t < (int32_t)p.n_text_tokens) {
         wtext += vocab[(size_t)t];
       }
-      prev = t;
     }
-    (void)prev;
     if (print_tokens) fprintf(stderr, "\n");
     text += wtext;
-    fprintf(stderr, "[wtpu] window %d @%.1fs: %d tokens\n", n_windows,
-            seek / 100.0, (int)(n_tokens - sb));
+    fprintf(stderr, "[wtpu] window %d @%.1fs: %zu tokens\n", n_windows,
+            seek / 100.0, seq.size());
 
     for (void* h : xa) wtpu_pjrt_buffer_destroy(ctx.client, h);
     for (void* h : kv) wtpu_pjrt_buffer_destroy(ctx.client, h);

@@ -42,7 +42,7 @@ def test_pipeline_files(pipeline_dir):
         assert os.path.exists(os.path.join(pipeline_dir, f)), f
 
 
-@pytest.mark.parametrize("name", ["encoder", "cross_kv", "fused_greedy"])
+@pytest.mark.parametrize("name", ["encoder", "cross_kv", "fused_greedy", "fused_beam"])
 def test_spec_matches_mlir_arity(pipeline_dir, name):
     """keep_unused regression: jax DCE'd unused params out of the lowered
     signature, desyncing spec + blob from the executable (device crash)."""
@@ -75,7 +75,7 @@ def test_spec_txt_roundtrip(pipeline_dir):
     """spec.txt (parsed by C++) agrees with spec.json."""
     import json
 
-    for name in ("encoder", "cross_kv", "fused_greedy"):
+    for name in ("encoder", "cross_kv", "fused_greedy", "fused_beam"):
         spec = json.load(open(os.path.join(pipeline_dir, f"{name}.spec.json")))
         txt = open(os.path.join(pipeline_dir, f"{name}.spec.txt")).read().splitlines()
         n_inputs = int([l for l in txt if l.startswith("n_inputs")][0].split()[1])

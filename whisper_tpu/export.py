@@ -171,6 +171,7 @@ def export_pipeline(
     language: str = "en",
     task: str = "transcribe",
     sample_len: int = 446,
+    beam_size: int = 5,
 ):
     """Export everything the native transcription pipeline
     (runtime/wtpu_transcribe.cpp) needs to run WITHOUT Python:
@@ -192,10 +193,10 @@ def export_pipeline(
 
     os.makedirs(out_dir, exist_ok=True)
     dims = model.dims
-    multilingual = dims.n_vocab >= 51865
+    multilingual = model.is_multilingual
     tok = get_tokenizer(
         multilingual,
-        num_languages=dims.n_vocab - 51765 if multilingual else 99,
+        num_languages=model.num_languages,
         language=language if multilingual else None,
         task=task if multilingual else None,
     )
@@ -265,9 +266,27 @@ def export_pipeline(
         name="fused_greedy",
         n_params=n_dec,
     )
-    # fused_greedy shares the decoder blob
-    if not os.path.exists(os.path.join(out_dir, "fused_greedy.params.bin")):
-        os.symlink("decoder.params.bin", os.path.join(out_dir, "fused_greedy.params.bin"))
+    # ---- the fused beam-search decode graph ----
+    beam_cfg = cfg._replace(
+        n_group=beam_size, beam_search=True, max_candidates=beam_size
+    )
+    export_graph(
+        out_dir,
+        partial(
+            fused_decode,
+            n_head=dims.n_text_head,
+            cfg=beam_cfg,
+            cache_dtype=model.compute_dtype,
+        ),
+        example,
+        name="fused_beam",
+        n_params=n_dec,
+    )
+    # the fused graphs share the decoder blob
+    for shared in ("fused_greedy", "fused_beam"):
+        link = os.path.join(out_dir, f"{shared}.params.bin")
+        if not os.path.exists(link):
+            os.symlink("decoder.params.bin", link)
 
     # ---- default suppression masks (DecodingTask._get_suppress_tokens with
     # suppress_tokens="-1": non-speech tokens + specials; SuppressBlank) ----
@@ -303,6 +322,7 @@ def export_pipeline(
         f"sample_begin {len(initial)}",
         f"sample_len {sample_len}",
         f"max_initial_ts_index 50",
+        f"beam_size {beam_size}",
         f"tiktoken {vocab}.tiktoken",
         "initial_tokens " + " ".join(str(t) for t in initial),
     ]
