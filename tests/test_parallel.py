@@ -1,0 +1,81 @@
+"""Multi-device sharding on the virtual 8-device CPU mesh: tp param
+placement, dp+tp batched inference == single-device fused engine, sharded
+encoder/cross-KV parity."""
+
+import numpy as np
+import pytest
+
+import jax
+from jax.sharding import PartitionSpec as P
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(dp=4, tp=2)
+
+
+def test_param_shardings_tp_rules(tpu_model, mesh8):
+    from whisper_tpu.parallel.sharding import shard_params
+
+    sharded = shard_params(tpu_model.params["decoder"], mesh8)
+    q = sharded["blocks"]["attn_q_w"]  # (L, d, d) sharded on out axis
+    assert q.sharding.spec == P(None, None, "tp")
+    o = sharded["blocks"]["attn_o_w"]
+    assert o.sharding.spec == P(None, "tp", None)
+    emb = sharded["tok_emb"]
+    assert emb.sharding.spec == P()
+
+
+def test_dp_engine_matches_single_device(tpu_model, mesh8):
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.parallel.serve import DataParallelEngine, dp_cross_kv, dp_encode
+
+    A = 4
+    rng = np.random.RandomState(3)
+    mel = (rng.randn(A, tpu_model.dims.n_mels, 3000) * 0.5).astype(np.float32)
+
+    xa_ref = tpu_model.encode(mel)
+    ck_ref, cv_ref = tpu_model.cross_kv(xa_ref)
+
+    enc = dp_encode(tpu_model, mesh8)
+    ckv = dp_cross_kv(tpu_model, mesh8)
+    xa = enc(tpu_model.params["encoder"], mel)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xa_ref), atol=2e-5)
+    ck, cv = ckv(tpu_model.params["decoder"], xa)
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(ck_ref), atol=2e-5)
+
+    kwargs = dict(
+        sot_index=0, suppress_ids=[11, 220], blank_ids=[220, 50257],
+        max_initial_ts_index=50, sample_len=12, n_group=2, beam_search=True,
+        max_candidates=2, use_timestamps=True, temperature=0.0,
+        eot=50257, timestamp_begin=50365, no_timestamps=50364,
+        no_speech=50363, rng_seed=0,
+    )  # fmt: skip
+    initial = np.tile(np.array([[50258, 50259, 50359]], np.int32), (A, 1))
+
+    ref = FusedEngine(tpu_model).run(initial, ck_ref, cv_ref, **kwargs)
+    dp = DataParallelEngine(tpu_model, mesh8).run(initial, ck, cv, **kwargs)
+
+    n = int(ref[1])
+    assert int(dp[1]) == n
+    assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(dp[2]), np.asarray(ref[2]), atol=1e-4)
+    assert np.array_equal(np.asarray(dp[7]), np.asarray(ref[7]))  # fcount
+
+
+def test_dp_engine_rejects_bad_batch(tpu_model, mesh8):
+    from whisper_tpu.engine_fused import FusedConfig
+    from whisper_tpu.parallel.serve import DataParallelEngine
+
+    eng = DataParallelEngine(tpu_model, mesh8)
+    cfg = FusedConfig(
+        n_group=1, n_audio=3, beam_search=False, use_timestamps=True,
+        max_candidates=0, eot=50257, timestamp_begin=50365,
+        no_timestamps=50364, no_speech=50363,
+    )  # fmt: skip
+    with pytest.raises(AssertionError, match="divisible"):
+        eng._get(cfg)

@@ -1,0 +1,98 @@
+"""Data-parallel (+ tensor-parallel) batched inference over a device mesh.
+
+The natural scale axis for ASR serving is data parallelism over audio
+streams: each 30-second window is independent once encoded, so a `(dp, tp)`
+mesh splits the batch over `dp` while megatron-style weight shardings
+(parallel/sharding.py) split heads over `tp`. The whole fused decode loop —
+prefill, while_loop, beam bookkeeping — is ONE jitted program; GSPMD inserts
+the collectives, which ride ICI on a real slice.
+
+The reference is strictly single-device (one ANE; files processed
+sequentially, /root/reference/whisper/transcribe.py:626-638) — there is no
+analog. Usage:
+
+    mesh = make_mesh(dp=4, tp=2)
+    eng = DataParallelEngine(model, mesh)
+    out = eng.run(initial_tokens, ck, cv, n_group=5, beam_search=True, ...)
+
+Tested on a virtual 8-device CPU mesh (tests/test_parallel.py); the driver's
+dryrun validates multi-chip compilation the same way.
+"""
+
+from functools import partial
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..engine_fused import FusedConfig, FusedEngine, fused_decode
+from .sharding import param_shardings
+
+
+class DataParallelEngine(FusedEngine):
+    """FusedEngine whose compiled graphs shard the audio batch over `dp` and
+    the attention heads over `tp`. n_audio must be divisible by dp (keep
+    serving batches at a fixed multiple of the mesh's dp degree)."""
+
+    def __init__(self, model, mesh: Mesh):
+        super().__init__(model)
+        self.mesh = mesh
+
+    def _get(self, cfg: FusedConfig):
+        key = cfg
+        if key not in self._jitted:
+            mesh = self.mesh
+            dp = mesh.shape.get("dp", 1)
+            assert cfg.n_audio % dp == 0, (
+                f"n_audio={cfg.n_audio} not divisible by dp={dp}"
+            )
+            dec_sharding = param_shardings(self.model.params["decoder"], mesh)
+            repl = NamedSharding(mesh, P())
+            in_shardings = (
+                dec_sharding,
+                NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
+                repl,  # sample_begin
+                # ck/cv: (L, A, H, 1500, dh) — batch over dp, heads over tp
+                NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+                NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+                repl,  # sot_index
+                repl,  # suppress mask
+                repl,  # blank mask
+                repl,  # max_initial_ts_index
+                repl,  # sample_len
+                repl,  # temperature
+                repl,  # rng_seed
+            )
+            self._jitted[key] = jax.jit(
+                partial(
+                    fused_decode,
+                    n_head=self.model.dims.n_text_head,
+                    cfg=cfg,
+                    cache_dtype=self.model.compute_dtype,
+                ),
+                in_shardings=in_shardings,
+            )
+        return self._jitted[key]
+
+
+def dp_encode(model, mesh: Mesh):
+    """Batched encoder sharded over (dp, tp): mel (A, n_mels, 3000) -> xa.
+    Returns a jitted callable."""
+    from ..models import graphs
+
+    enc_sharding = param_shardings(model.params["encoder"], mesh)
+    return jax.jit(
+        partial(graphs.encode, n_head=model.dims.n_audio_head),
+        in_shardings=(enc_sharding, NamedSharding(mesh, P("dp", None, None))),
+    )
+
+
+def dp_cross_kv(model, mesh: Mesh):
+    """Batched cross-KV sharded over (dp, tp): xa (A, 1500, d) -> (ck, cv)."""
+    from ..models import graphs
+
+    dec_sharding = param_shardings(model.params["decoder"], mesh)
+    return jax.jit(
+        partial(graphs.cross_kv, n_head=model.dims.n_text_head),
+        in_shardings=(dec_sharding, NamedSharding(mesh, P("dp", None, None))),
+        out_shardings=NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+    )
