@@ -28,8 +28,10 @@ def test_cross_kv_parity(reference_model, tpu_model, xa_pair, tiny_dims):
     with torch.no_grad():
         ck_ref, cv_ref = reference_model.decoder.crossKVCaches(torch.from_numpy(xa_ref))
     ck, cv = tpu_model.cross_kv(jnp.asarray(xa_ref))
-    ck_ref = ck_ref.numpy().reshape(L, 1, H, 64, 1500).transpose(0, 1, 2, 4, 3)
-    cv_ref = cv_ref.numpy().reshape(L, 1, H, 1500, 64)
+    # the reference itself stores cK transposed (L,1,H,64,1500) — our
+    # time-minormost layout matches it directly; cV needs the transpose
+    ck_ref = ck_ref.numpy().reshape(L, 1, H, 64, 1500)
+    cv_ref = cv_ref.numpy().reshape(L, 1, H, 1500, 64).transpose(0, 1, 2, 4, 3)
     assert np.abs(np.asarray(ck) - ck_ref).max() < 1e-4
     assert np.abs(np.asarray(cv) - cv_ref).max() < 1e-4
 

@@ -313,7 +313,7 @@ def fused_decode(
     initial_tokens,  # (A, 448) i32, padded; first `sample_begin` cols valid
     sample_begin,  # i32 scalar
     ck,
-    cv,  # (L, A, H, 1500, dh)
+    cv,  # (L, A, H, dh, 1500)
     sot_index,  # i32 scalar (for the no-speech probability)
     suppress_mask,  # (V,) bool
     blank_suppress_mask,  # (V,) bool

@@ -7,7 +7,7 @@ activations device-resident (/root/reference/coreml/coreml.mm:26-463). We keep
 exactly that factoring, but as jitted JAX functions over static shapes:
 
   encode      mel (B, n_mels, 3000)            -> xa (B, 1500, d)
-  cross_kv    xa                               -> cK/cV (L, B, H, 1500, dh)
+  cross_kv    xa                               -> cK/cV (L, B, H, dh, 1500)
   prefill     tokens (B, 256) + cross K/V      -> hidden, per-layer self K/V
   decode_step token (beam,) + KV cache         -> logits (beam, vocab), cache
 
@@ -112,7 +112,13 @@ def encode(enc, mel, *, n_head):
 
 
 def cross_kv(dec, xa, *, n_head):
-    """xa: (B, 1500, d) -> (cK, cV) each (L, B, H, 1500, dh)."""
+    """xa: (B, 1500, d) -> (cK, cV) each (L, B, H, dh, 1500).
+
+    Time is the MINORMOST axis deliberately: with dh=64 minormost, every
+    bf16 (8,128)-tiled buffer pads 64 lanes -> 128, doubling the memory AND
+    the per-decode-step read traffic of the largest tensors in the model
+    (measured: 2.0x padding expansion + XLA compress/uncompress copy pairs
+    inside the decode loop). T=1500 pads to 1536 (2.4%)."""
     blocks = dec["blocks"]
     dtype = blocks["cross_k_w"].dtype
     xa = xa.astype(dtype)
@@ -124,20 +130,20 @@ def cross_kv(dec, xa, *, n_head):
     cv = jnp.einsum("btd,lde->lbte", xa, blocks["cross_v_w"]) + blocks["cross_v_b"][
         :, None, None, :
     ]
-    ck = jnp.transpose(ck.reshape(L, B, T, n_head, dh), (0, 1, 3, 2, 4))
-    cv = jnp.transpose(cv.reshape(L, B, T, n_head, dh), (0, 1, 3, 2, 4))
+    ck = jnp.transpose(ck.reshape(L, B, T, n_head, dh), (0, 1, 3, 4, 2))
+    cv = jnp.transpose(cv.reshape(L, B, T, n_head, dh), (0, 1, 3, 4, 2))
     return ck, cv
 
 
 def _cross_attention(x, blk, ck_l, cv_l, n_head, return_scores=False):
-    """x: (B, T, d); ck_l/cv_l: (Bx, H, Tk, dh) with Bx in {1, B} (broadcast)."""
+    """x: (B, T, d); ck_l/cv_l: (Bx, H, dh, Tk) with Bx in {1, B} (broadcast)."""
     h = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
     q = h @ blk["cross_q_w"] + blk["cross_q_b"]
     dh = q.shape[-1] // n_head
     qh = jnp.transpose(_split_heads(q * (dh**-0.5), n_head), (0, 2, 1, 3))
-    scores = jnp.einsum("bhqd,bhkd->bhqk", qh, ck_l, preferred_element_type=jnp.float32)
+    scores = jnp.einsum("bhqd,bhdk->bhqk", qh, ck_l, preferred_element_type=jnp.float32)
     w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhkd->bqhd", w, cv_l)
+    out = jnp.einsum("bhqk,bhdk->bqhd", w, cv_l)
     out = out.reshape(*x.shape)
     attn = out @ blk["cross_o_w"] + blk["cross_o_b"]
     if return_scores:
@@ -161,7 +167,7 @@ def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
 
     tokens: (B, PREFILL_LEN) int32, garbage beyond n_valid
     n_valid: scalar int32, number of real tokens
-    ck/cv: (L, B or 1, H, 1500, dh)
+    ck/cv: (L, B or 1, H, dh, dh, 1500)
 
     Returns (hidden (B, P, d) final-LN'd, kv (L, 2, B, P, d)).
     Key positions >= n_valid are masked for every query, mirroring the
@@ -246,7 +252,7 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
 
 def decoder_forward(dec, tokens, ck, cv, *, n_head):
     """Teacher-forced decoder pass over full sequences (no KV cache) — the
-    training/fine-tuning forward. tokens: (B, T) int32; ck/cv: (L, B or 1, H,
+    training/fine-tuning forward. tokens: (B, T) int32; ck/cv: (L, B or 1, H, dh,
     Tk, dh). Returns logits (B, T, V) float32."""
     blocks = dec["blocks"]
     dtype = blocks["attn_q_w"].dtype
@@ -285,6 +291,30 @@ def hidden_to_logits(dec, hidden):
 # ---------------------------------------------------------------------------
 
 
+def _reorder_prefix(cache, src, pos):
+    """Beam-reorder only the valid cache prefix.
+
+    A whole-cache jnp.take costs a full gather + XLA adds copy/select/update
+    chains on the loop carry (~40 ms/step at large-v3 batch 40, profiled) even
+    though only `pos` of the 448 slots hold data. Gathering a static slab of
+    ceil(pos/64)*64 slots (lax.switch keeps shapes static) and writing it back
+    in place scales the traffic with the actual sequence length."""
+    L, two, B, C, d = cache.shape
+    block = 64
+    n_sizes = C // block
+
+    def make(S):
+        def f(c):
+            slab = jax.lax.dynamic_slice(c, (0, 0, 0, 0, 0), (L, 2, B, S, d))
+            slab = jnp.take(slab, src, axis=2)
+            return jax.lax.dynamic_update_slice(c, slab, (0, 0, 0, 0, 0))
+
+        return f
+
+    idx = jnp.clip(pos // block, 0, n_sizes - 1)
+    return jax.lax.switch(idx, [make(block * (i + 1)) for i in range(n_sizes)], cache)
+
+
 def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     """One autoregressive decoder step for all beams.
 
@@ -293,7 +323,7 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     cache:  (L, 2, B, CACHE_SLOTS, d) — donated self-attention K/V cache
     src:    (B,) int32 — beam reorder indices from the previous beam-search
             update, fused into this graph as a gather (identity for greedy)
-    ck/cv:  (L, Bc, H, 1500, dh) with B % Bc == 0 — the cross K/V is stored
+    ck/cv:  (L, Bc, H, dh, 1500) with B % Bc == 0 — the cross K/V is stored
             once per AUDIO and shared by that audio's beam group (audio-major
             batch layout), never replicated per beam: the reference instead
             keeps one arrayCK/CV per decode at fixed beam batch
@@ -308,13 +338,21 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     dh = d // n_head
 
     if reorder:  # static: greedy decoding never permutes, skip the cache copy
-        cache = jnp.take(cache, src, axis=2)
+        cache = _reorder_prefix(cache, src, pos)
 
     x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
 
+    # cached slots strictly before `pos` are valid; the fresh token's K/V is
+    # appended as a 449th score column instead of being written into the
+    # cache pre-attention. The cache layers flow through the scan as
+    # READ-ONLY xs and all L new slots are written afterwards in ONE tiny
+    # dynamic_update_slice — profiling showed the previous
+    # write-then-stack structure rewrote the full 91 MB layer per layer
+    # (plus a whole-cache copy per loop iteration): ~45 of 52 ms/step at
+    # batch 40 was cache plumbing, not math.
     kmask = jnp.where(
-        jnp.arange(CACHE_SLOTS)[None, None, :] <= pos, 0.0, -jnp.inf
+        jnp.arange(CACHE_SLOTS)[None, None, :] < pos, 0.0, -jnp.inf
     )  # (1, 1, C)
 
     def block(x, inputs):
@@ -324,22 +362,25 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
         k = (h @ blk["attn_k_w"])[:, 0]
         v = (h @ blk["attn_v_w"] + blk["attn_v_b"])[:, 0]
 
-        cache_l = jax.lax.dynamic_update_slice(
-            cache_l, jnp.stack([k, v])[:, :, None, :], (0, 0, pos, 0)
-        )  # (2, beam, C, d)
-
         qh = _split_heads(q * (dh**-0.5), n_head)  # (beam, H, dh)
         kh = _split_heads(cache_l[0], n_head)  # (beam, C, H, dh)
         vh = _split_heads(cache_l[1], n_head)
+        kh_new = _split_heads(k, n_head)  # (beam, H, dh)
+        vh_new = _split_heads(v, n_head)
         scores = (
             jnp.einsum("bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32)
             + kmask
         )
-        w = jax.nn.softmax(scores, axis=-1).astype(dtype)
-        wv = jnp.einsum("bhk,bkhd->bhd", w, vh).reshape(beam, 1, d)
+        score_new = jnp.einsum(
+            "bhd,bhd->bh", qh, kh_new, preferred_element_type=jnp.float32
+        )
+        full = jnp.concatenate([scores, score_new[:, :, None]], axis=2)
+        w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (beam, H, C+1)
+        wv = jnp.einsum("bhk,bkhd->bhd", w[:, :, :-1], vh)
+        wv = (wv + w[:, :, -1, None] * vh_new).reshape(beam, 1, d)
         x = x + wv @ blk["attn_o_w"] + blk["attn_o_b"]
 
-        # cross attention grouped by audio: ck_l/cv_l are (Bc, H, T, dh) with
+        # cross attention grouped by audio: ck_l/cv_l are (Bc, H, dh, T) with
         # group = beam // Bc query rows sharing each audio's K/V
         hc = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
         qc = (hc @ blk["cross_q_w"] + blk["cross_q_b"])[:, 0]  # (beam, d)
@@ -347,16 +388,19 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
         group = beam // Bc
         qc = (qc * (dh**-0.5)).reshape(Bc, group, n_head, dh)
         cscores = jnp.einsum(
-            "bghd,bhkd->bghk", qc, ck_l, preferred_element_type=jnp.float32
+            "bghd,bhdk->bghk", qc, ck_l, preferred_element_type=jnp.float32
         )
         cw = jax.nn.softmax(cscores, axis=-1).astype(dtype)
-        cwv = jnp.einsum("bghk,bhkd->bghd", cw, cv_l).reshape(beam, 1, d)
+        cwv = jnp.einsum("bghk,bhdk->bghd", cw, cv_l).reshape(beam, 1, d)
         x = x + cwv @ blk["cross_o_w"] + blk["cross_o_b"]
 
         x = x + _mlp(x, blk)
-        return x, cache_l
+        return x, jnp.stack([k, v])  # (2, beam, d) — this layer's new slot
 
-    x, cache = jax.lax.scan(block, x, (blocks, cache, ck, cv))
+    x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))
+    cache = jax.lax.dynamic_update_slice(
+        cache, new_kv[:, :, :, None, :], (0, 0, 0, pos, 0)
+    )  # one (L, 2, B, 1, d) write instead of L full-layer rewrites
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     logits = hidden_to_logits(dec, x[:, 0])
     return logits, cache

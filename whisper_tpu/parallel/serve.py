@@ -51,7 +51,7 @@ class DataParallelEngine(FusedEngine):
                 dec_sharding,
                 NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
                 repl,  # sample_begin
-                # ck/cv: (L, A, H, 1500, dh) — batch over dp, heads over tp
+                # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp
                 NamedSharding(mesh, P(None, "dp", "tp", None, None)),
                 NamedSharding(mesh, P(None, "dp", "tp", None, None)),
                 repl,  # sot_index
