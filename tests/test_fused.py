@@ -71,3 +71,26 @@ def test_fused_pallas_greedy_wiring(tpu_model, mel, kw, monkeypatch):
     kern = decode(tpu_model, mel, DecodingOptions(**kw))
     assert kern.tokens == base.tokens
     assert abs(kern.avg_logprob - base.avg_logprob) < 1e-4
+
+
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(language="en", temperature=0.0, sample_len=135),
+        dict(language="en", beam_size=2, sample_len=135),
+        # long prompt -> sample_begin > 128: the first bucket phase must be
+        # skipped entirely (its entry condition starts false)
+        dict(language="en", temperature=0.0, sample_len=20,
+             prompt=" ".join(["word"] * 130)),
+    ],
+    ids=["greedy-cross-128", "beam2-cross-128", "prompt-starts-past-128"],
+)
+def test_fused_bucket_boundaries(tpu_model, mel, kw):
+    """The bucketed cache phases (128/256/448) must hand off mid-decode with
+    no token divergence from the host loop."""
+    tpu_model.use_fused_decode = False
+    host = decode(tpu_model, mel, DecodingOptions(**kw))
+    tpu_model.use_fused_decode = True
+    fused = decode(tpu_model, mel, DecodingOptions(**kw))
+    assert fused.tokens == host.tokens
+    assert abs(fused.avg_logprob - host.avg_logprob) < 1e-4

@@ -291,31 +291,9 @@ def hidden_to_logits(dec, hidden):
 # ---------------------------------------------------------------------------
 
 
-def _reorder_prefix(cache, src, pos):
-    """Beam-reorder only the valid cache prefix.
-
-    A whole-cache jnp.take costs a full gather + XLA adds copy/select/update
-    chains on the loop carry (~40 ms/step at large-v3 batch 40, profiled) even
-    though only `pos` of the 448 slots hold data. Gathering a static slab of
-    ceil(pos/64)*64 slots (lax.switch keeps shapes static) and writing it back
-    in place scales the traffic with the actual sequence length."""
-    L, two, B, C, d = cache.shape
-    block = 64
-    n_sizes = C // block
-
-    def make(S):
-        def f(c):
-            slab = jax.lax.dynamic_slice(c, (0, 0, 0, 0, 0), (L, 2, B, S, d))
-            slab = jnp.take(slab, src, axis=2)
-            return jax.lax.dynamic_update_slice(c, slab, (0, 0, 0, 0, 0))
-
-        return f
-
-    idx = jnp.clip(pos // block, 0, n_sizes - 1)
-    return jax.lax.switch(idx, [make(block * (i + 1)) for i in range(n_sizes)], cache)
-
-
-def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
+def decode_step(
+    dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True, window=None
+):
     """One autoregressive decoder step for all beams.
 
     tokens: (B,) int32 — tokens sampled at the previous step, B = n_audio*group
@@ -329,6 +307,14 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
             keeps one arrayCK/CV per decode at fixed beam batch
             (coreml.mm:122-169)
 
+    window: static number of leading cache slots this step may touch
+            (requires pos < window). The fused loop runs in bucketed phases
+            (128/256/448) so attention reads, the beam-reorder gather and the
+            write-back all scale with actual occupancy instead of the full
+            448 slots — profiled at 2.6x on large-v3 batch-40 decode, and a
+            lax.switch alternative paid whole-cache copies at the cond
+            boundary.
+
     Returns (logits (B, n_vocab) f32, new cache).
     """
     blocks = dec["blocks"]
@@ -336,9 +322,17 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     beam = tokens.shape[0]
     d = dec["tok_emb"].shape[1]
     dh = d // n_head
+    L, _, _, C, _ = cache.shape
+    W = C if window is None else window
+
+    full_cache = cache
+    if W != C:
+        cache = jax.lax.slice(
+            cache, (0, 0, 0, 0, 0), (L, 2, beam, W, d)
+        )  # static prefix slab
 
     if reorder:  # static: greedy decoding never permutes, skip the cache copy
-        cache = _reorder_prefix(cache, src, pos)
+        cache = jnp.take(cache, src, axis=2)
 
     x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
@@ -352,8 +346,8 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
     # (plus a whole-cache copy per loop iteration): ~45 of 52 ms/step at
     # batch 40 was cache plumbing, not math.
     kmask = jnp.where(
-        jnp.arange(CACHE_SLOTS)[None, None, :] < pos, 0.0, -jnp.inf
-    )  # (1, 1, C)
+        jnp.arange(W)[None, None, :] < pos, 0.0, -jnp.inf
+    )  # (1, 1, W)
 
     def block(x, inputs):
         blk, cache_l, ck_l, cv_l = inputs
@@ -398,9 +392,16 @@ def decode_step(dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True):
         return x, jnp.stack([k, v])  # (2, beam, d) — this layer's new slot
 
     x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))
-    cache = jax.lax.dynamic_update_slice(
-        cache, new_kv[:, :, :, None, :], (0, 0, 0, pos, 0)
-    )  # one (L, 2, B, 1, d) write instead of L full-layer rewrites
+    new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
+    if W != C and reorder:
+        # write the reordered slab (with the new slot) back into the full cache
+        cache = jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
+        cache = jax.lax.dynamic_update_slice(full_cache, cache, (0, 0, 0, 0, 0))
+    elif W != C:
+        # greedy: slab untouched — only the new slot lands in the full cache
+        cache = jax.lax.dynamic_update_slice(full_cache, new_kv, (0, 0, 0, pos, 0))
+    else:
+        cache = jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     logits = hidden_to_logits(dec, x[:, 0])
     return logits, cache
