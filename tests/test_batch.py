@@ -60,3 +60,19 @@ def test_chunked_matches_batch(tpu_model, jfk_audio):
     n0 = len(refs[0]["segments"])
     for seg, ref in zip(out["segments"][n0:], refs[1]["segments"]):
         assert abs(seg["start"] - (ref["start"] + 30.0)) < 1e-6
+
+
+def test_batch_word_timestamps_match_transcribe(tpu_model, jfk_audio):
+    [res] = transcribe_batch(
+        tpu_model, [jfk_audio], language="en", temperature=0.0, word_timestamps=True
+    )
+    ref = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, word_timestamps=True, verbose=None
+    )
+    assert res["text"] == ref["text"]
+    words = [w for seg in res["segments"] for w in seg.get("words", [])]
+    ref_words = [w for seg in ref["segments"] for w in seg.get("words", [])]
+    assert [w["word"] for w in words] == [w["word"] for w in ref_words]
+    for a, b in zip(words, ref_words):
+        assert abs(a["start"] - b["start"]) < 1e-6
+        assert abs(a["end"] - b["end"]) < 1e-6

@@ -9,10 +9,10 @@ one batched decoding loop per round serve every active stream, keeping the
 MXU fed (SURVEY.md §2b "batched/multi-stream long-form on one chip").
 
 Semantics per stream match `transcribe()` for the supported option subset
-(greedy or beam, single temperature, no word timestamps). Streams that fail a
+(greedy or beam, single temperature, word timestamps). Streams that fail a
 quality gate fall back individually through the temperature ladder without
-dragging the others. For the full option surface (word timestamps,
-clip_timestamps, hallucination heuristics) use `transcribe()` per stream.
+dragging the others. For the full option surface (clip_timestamps,
+hallucination heuristics) use `transcribe()` per stream.
 """
 
 from typing import List, Optional, Tuple, Union
@@ -28,6 +28,7 @@ from .utils import exact_div
 
 class _Stream:
     def __init__(self, idx: int, mel: np.ndarray):
+        self.last_speech_timestamp = 0.0
         self.idx = idx
         self.mel = mel
         self.content_frames = mel.shape[-1] - N_FRAMES
@@ -54,6 +55,9 @@ def transcribe_batch(
     logprob_threshold: Optional[float] = -1.0,
     no_speech_threshold: Optional[float] = 0.6,
     condition_on_previous_text: bool = True,
+    word_timestamps: bool = False,
+    prepend_punctuations: str = "\"'\u201c\u00bf([{-",
+    append_punctuations: str = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
     **decode_options,
 ) -> List[dict]:
     """Transcribe N audio streams concurrently. Returns one result dict per
@@ -216,7 +220,7 @@ def transcribe_batch(
                     "no_speech_prob": result.no_speech_prob,
                 }
 
-            segments, s.seek, _ = segments_from_tokens(
+            segments, s.seek, single_timestamp_ending = segments_from_tokens(
                 tokens=np.array(result.tokens),
                 tokenizer=tokenizer,
                 result=result,
@@ -227,6 +231,34 @@ def transcribe_batch(
                 input_stride=input_stride,
                 make_segment=make_segment,
             )
+
+            if word_timestamps:
+                import jax.numpy as jnp
+
+                from .timing import add_word_timestamps
+                from .utils import get_end
+
+                ck1, cv1 = model.cross_kv(jnp.asarray(result.audio_features)[None])
+                add_word_timestamps(
+                    segments=segments,
+                    model=model,
+                    tokenizer=tokenizer,
+                    num_frames=segment_size,
+                    ck=ck1,
+                    cv=cv1,
+                    prepend_punctuations=prepend_punctuations,
+                    append_punctuations=append_punctuations,
+                    last_speech_timestamp=s.last_speech_timestamp,
+                )
+                # transcribe.py's word-level seek rule: resume after the last
+                # spoken word unless the window ended on a lone timestamp
+                if not single_timestamp_ending:
+                    last_word_end = get_end(segments)
+                    if last_word_end is not None and last_word_end > time_offset:
+                        s.seek = round(last_word_end * (SAMPLE_RATE // HOP_LENGTH))
+                last_word_end = get_end(segments)
+                if last_word_end is not None:
+                    s.last_speech_timestamp = last_word_end
 
             for i, segment in enumerate(segments):
                 if segment["start"] == segment["end"] or segment["text"].strip() == "":
