@@ -324,48 +324,28 @@ std::vector<void*> run(Ctx& ctx, Graph& g, const std::vector<void*>& rt) {
 
 }  // namespace
 
-int main(int argc, char** argv) {
-  std::string plugin = "/opt/axon/libaxon_pjrt.so";
-  std::string dir, audio_path;
-  int max_windows = 1 << 30;
-  bool print_tokens = false;
-  bool beam = false;
-  for (int i = 1; i < argc; i++) {
-    std::string a = argv[i];
-    if (a == "--plugin" && i + 1 < argc) plugin = argv[++i];
-    else if (a == "--max-windows" && i + 1 < argc) max_windows = atoi(argv[++i]);
-    else if (a == "--tokens") print_tokens = true;
-    else if (a == "--beam") beam = true;
-    else if (dir.empty()) dir = a;
-    else audio_path = a;
-  }
-  if (dir.empty() || audio_path.empty())
-    die("usage: wtpu_transcribe <pipeline_dir> <audio> [--plugin SO] "
-        "[--max-windows N] [--tokens] [--beam]");
+namespace {
 
-  Pipeline p = parse_pipeline(dir + "/pipeline.txt");
-  std::vector<std::string> vocab =
-      load_tiktoken(dir + "/" + p.tiktoken_file, p.n_text_tokens);
-
-  // ---- audio -> mono 16 kHz -> log-mel (native, no Python) ----
-  float* samples = nullptr;
-  int64_t n_samples = 0;
-  if (audioio_decode(audio_path.c_str(), p.sample_rate, &samples, &n_samples))
-    die(std::string("audio decode failed: ") + audioio_last_error());
-  float* mel = nullptr;
-  int64_t n_frames = 0;
-  if (audioio_log_mel(samples, n_samples, p.n_mels, 480000, &mel, &n_frames))
-    die(std::string("log-mel failed: ") + audioio_last_error());
-  int64_t content_frames = n_frames - 3000;  // padding added 30 s of frames
-  fprintf(stderr, "[wtpu] %s: %.1f s audio, %lld mel frames\n",
-          audio_path.c_str(), (double)n_samples / p.sample_rate,
-          (long long)content_frames);
-
-  // ---- PJRT client + graphs ----
+// ---- engine: loaded graphs + device-resident weights + const inputs ----
+struct Engine {
   Ctx ctx;
-  ctx.dir = dir;
-  ctx.cache_dir = dir + "/.exe_cache";
-  std::string mkdir_cmd = "mkdir -p '" + ctx.cache_dir + "'";
+  Pipeline p;
+  std::vector<std::string> vocab;
+  Graph enc, ckv, dec_greedy, dec_beam;
+  bool have_beam = false;
+  // loop-invariant runtime input handles (shared by both decode graphs)
+  void *h_toks, *h_sb, *h_sot, *h_sup, *h_blk, *h_mx, *h_slen, *h_temp, *h_seed;
+  int32_t sb = 0;
+};
+
+void engine_init(Engine& e, const std::string& dir, const std::string& plugin,
+                 bool load_greedy, bool load_beam) {
+  e.p = parse_pipeline(dir + "/pipeline.txt");
+  e.vocab = load_tiktoken(dir + "/" + e.p.tiktoken_file, e.p.n_text_tokens);
+
+  e.ctx.dir = dir;
+  e.ctx.cache_dir = dir + "/.exe_cache";
+  std::string mkdir_cmd = "mkdir -p '" + e.ctx.cache_dir + "'";
   if (system(mkdir_cmd.c_str()) != 0) die("cannot create cache dir");
   // axon-tunnel quirks (a real TPU VM's libtpu needs none of these): the
   // Python side gets them from the baked sitecustomize; replicate its
@@ -388,49 +368,87 @@ int main(int argc, char** argv) {
   const char* rc = getenv("PALLAS_AXON_REMOTE_COMPILE");
   int64_t ivals[] = {0, 0, (rc && strcmp(rc, "1") == 0) ? 1 : 0};
   int32_t types[] = {0, 0, 2};
-  ctx.client = wtpu_pjrt_client_create(api, names, svals, ivals, types, 3);
-  if (!ctx.client)
+  e.ctx.client = wtpu_pjrt_client_create(api, names, svals, ivals, types, 3);
+  if (!e.ctx.client)
     die(std::string("client create failed: ") + wtpu_pjrt_last_error());
   fprintf(stderr, "[wtpu] client up, %d device(s)\n",
-          wtpu_pjrt_device_count(ctx.client));
+          wtpu_pjrt_device_count(e.ctx.client));
 
-  const std::string dec_name = beam ? "fused_beam" : "fused_greedy";
-  Graph enc, ckv, dec;
-  enc.spec = parse_spec(dir + "/encoder.spec.txt");
-  ckv.spec = parse_spec(dir + "/cross_kv.spec.txt");
-  dec.spec = parse_spec(dir + "/" + dec_name + ".spec.txt");
-  enc.exec = load_or_compile(ctx, "encoder");
-  ckv.exec = load_or_compile(ctx, "cross_kv");
-  dec.exec = load_or_compile(ctx, dec_name);
-  enc.params = upload_params(ctx, enc.spec, dir + "/encoder.params.bin");
-  ckv.params = upload_params(ctx, ckv.spec, dir + "/decoder.params.bin");
-  dec.params = upload_params(ctx, dec.spec, dir + "/decoder.params.bin");
+  e.enc.spec = parse_spec(dir + "/encoder.spec.txt");
+  e.ckv.spec = parse_spec(dir + "/cross_kv.spec.txt");
+  e.enc.exec = load_or_compile(e.ctx, "encoder");
+  e.ckv.exec = load_or_compile(e.ctx, "cross_kv");
+  e.enc.params = upload_params(e.ctx, e.enc.spec, dir + "/encoder.params.bin");
+  e.ckv.params = upload_params(e.ctx, e.ckv.spec, dir + "/decoder.params.bin");
+  if (load_greedy) {
+    e.dec_greedy.spec = parse_spec(dir + "/fused_greedy.spec.txt");
+    e.dec_greedy.exec = load_or_compile(e.ctx, "fused_greedy");
+    e.dec_greedy.params = e.ckv.params;  // same decoder blob, same handles
+  }
+  if (load_beam) {
+    e.dec_beam.spec = parse_spec(dir + "/fused_beam.spec.txt");
+    e.dec_beam.exec = load_or_compile(e.ctx, "fused_beam");
+    e.dec_beam.params = e.ckv.params;
+    e.have_beam = true;
+  }
 
-  // ---- loop-invariant runtime inputs ----
-  // fused_greedy runtime input order (after params): initial_tokens,
+  // loop-invariant runtime inputs (input order after params: initial_tokens,
   // sample_begin, ck, cv, sot_index, suppress, blank, max_initial,
-  // sample_len, temperature, rng_seed
-  const auto& din = dec.spec.inputs;
-  int base = dec.spec.n_params;
+  // sample_len, temperature, rng_seed)
+  const GraphSpec& ds = load_greedy ? e.dec_greedy.spec : e.dec_beam.spec;
+  const auto& din = ds.inputs;
+  int base = ds.n_params;
   std::vector<int32_t> toks((size_t)din[(size_t)base].elems(), 0);
-  for (size_t i = 0; i < p.initial_tokens.size(); i++)
-    toks[i] = p.initial_tokens[i];
+  for (size_t i = 0; i < e.p.initial_tokens.size(); i++)
+    toks[i] = e.p.initial_tokens[i];
   std::string smask = read_file(dir + "/suppress_mask.bin");
   std::string bmask = read_file(dir + "/blank_mask.bin");
-  int32_t sb = p.sample_begin, sot = p.sot_index, mx = p.max_initial,
-          slen = p.sample_len, seed = 0;
+  e.sb = e.p.sample_begin;
+  int32_t sot = e.p.sot_index, mx = e.p.max_initial, slen = e.p.sample_len,
+          seed = 0;
   float temp = 0.0f;
-  void* h_toks = upload(ctx, toks.data(), din[(size_t)base]);
-  void* h_sb = upload(ctx, &sb, din[(size_t)base + 1]);
-  void* h_sot = upload(ctx, &sot, din[(size_t)base + 4]);
-  void* h_sup = upload(ctx, smask.data(), din[(size_t)base + 5]);
-  void* h_blk = upload(ctx, bmask.data(), din[(size_t)base + 6]);
-  void* h_mx = upload(ctx, &mx, din[(size_t)base + 7]);
-  void* h_slen = upload(ctx, &slen, din[(size_t)base + 8]);
-  void* h_temp = upload(ctx, &temp, din[(size_t)base + 9]);
-  void* h_seed = upload(ctx, &seed, din[(size_t)base + 10]);
+  e.h_toks = upload(e.ctx, toks.data(), din[(size_t)base]);
+  e.h_sb = upload(e.ctx, &e.sb, din[(size_t)base + 1]);
+  e.h_sot = upload(e.ctx, &sot, din[(size_t)base + 4]);
+  e.h_sup = upload(e.ctx, smask.data(), din[(size_t)base + 5]);
+  e.h_blk = upload(e.ctx, bmask.data(), din[(size_t)base + 6]);
+  e.h_mx = upload(e.ctx, &mx, din[(size_t)base + 7]);
+  e.h_slen = upload(e.ctx, &slen, din[(size_t)base + 8]);
+  e.h_temp = upload(e.ctx, &temp, din[(size_t)base + 9]);
+  e.h_seed = upload(e.ctx, &seed, din[(size_t)base + 10]);
+}
 
-  // ---- window loop ----
+// Transcribe one file; returns false + *err on failure (the engine survives).
+bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
+                     int max_windows, bool print_tokens, std::string* text_out,
+                     std::vector<int32_t>* tokens_out, std::string* err) {
+  if (beam && !e.have_beam) {
+    *err = "beam graph not loaded";
+    return false;
+  }
+  Graph& dec = beam ? e.dec_beam : e.dec_greedy;
+  const Pipeline& p = e.p;
+  Ctx& ctx = e.ctx;
+  const int32_t sb = e.sb;
+
+  float* samples = nullptr;
+  int64_t n_samples = 0;
+  if (audioio_decode(audio_path.c_str(), p.sample_rate, &samples, &n_samples)) {
+    *err = std::string("audio decode failed: ") + audioio_last_error();
+    return false;
+  }
+  float* mel = nullptr;
+  int64_t n_frames = 0;
+  if (audioio_log_mel(samples, n_samples, p.n_mels, 480000, &mel, &n_frames)) {
+    audioio_free(samples);
+    *err = std::string("log-mel failed: ") + audioio_last_error();
+    return false;
+  }
+  int64_t content_frames = n_frames - 3000;
+  fprintf(stderr, "[wtpu] %s: %.1f s audio, %lld mel frames\n",
+          audio_path.c_str(), (double)n_samples / p.sample_rate,
+          (long long)content_frames);
+
   std::vector<float> window((size_t)p.n_mels * 3000);
   std::string text;
   int64_t seek = 0;
@@ -440,13 +458,14 @@ int main(int argc, char** argv) {
     for (int m = 0; m < p.n_mels; m++)
       memcpy(window.data() + (size_t)m * 3000, mel + m * n_frames + seek,
              3000 * sizeof(float));
-    void* h_mel = upload(ctx, window.data(), enc.spec.inputs[(size_t)enc.spec.n_params]);
-    std::vector<void*> xa = run(ctx, enc, {h_mel});
-    std::vector<void*> kv = run(ctx, ckv, {xa[0]});
-    std::vector<void*> out = run(
-        ctx, dec,
-        {h_toks, h_sb, kv[0], kv[1], h_sot, h_sup, h_blk, h_mx, h_slen, h_temp,
-         h_seed});
+    void* h_mel =
+        upload(ctx, window.data(), e.enc.spec.inputs[(size_t)e.enc.spec.n_params]);
+    std::vector<void*> xa = run(ctx, e.enc, {h_mel});
+    std::vector<void*> kv = run(ctx, e.ckv, {xa[0]});
+    std::vector<void*> out =
+        run(ctx, dec,
+            {e.h_toks, e.h_sb, kv[0], kv[1], e.h_sot, e.h_sup, e.h_blk, e.h_mx,
+             e.h_slen, e.h_temp, e.h_seed});
 
     // outputs: tokens (G,448) i32, n_tokens i32, sum_logprobs (G,) f32,
     // no_speech (1,) f32, ftok (1,MC,449) i32, fscore (1,MC) f32,
@@ -458,7 +477,8 @@ int main(int argc, char** argv) {
     };
     std::vector<int32_t> out_toks((size_t)dec.spec.outputs[0].elems());
     int32_t n_tokens = 0;
-    fetch_i32(out[0], out_toks.data(), (int64_t)out_toks.size(), dec.spec.outputs[0]);
+    fetch_i32(out[0], out_toks.data(), (int64_t)out_toks.size(),
+              dec.spec.outputs[0]);
     fetch_i32(out[1], &n_tokens, 1, dec.spec.outputs[1]);
 
     // select the output sequence: greedy -> row 0; beam -> the reference's
@@ -493,7 +513,10 @@ int main(int argc, char** argv) {
       fetch_i32(out[6], flen.data(), MC, dec.spec.outputs[6]);
       fetch_i32(out[7], &fcount, 1, dec.spec.outputs[7]);
 
-      struct Cand { std::vector<int32_t> seq; double score; };
+      struct Cand {
+        std::vector<int32_t> seq;
+        double score;
+      };
       std::vector<Cand> cands;
       for (int32_t i = 0; i < fcount; i++) {
         Cand c;
@@ -513,7 +536,8 @@ int main(int argc, char** argv) {
           if ((int64_t)cands.size() >= G) break;
           Cand c;
           for (int32_t j = sb; j < n_tokens; j++)
-            c.seq.push_back(out_toks[(size_t)(b * dec.spec.outputs[0].dims[1] + j)]);
+            c.seq.push_back(
+                out_toks[(size_t)(b * dec.spec.outputs[0].dims[1] + j)]);
           c.score = slp[(size_t)b];
           cands.push_back(std::move(c));
         }
@@ -523,7 +547,10 @@ int main(int argc, char** argv) {
       for (size_t i = 0; i < cands.size(); i++) {
         double len = cands[i].seq.size() > 0 ? (double)cands[i].seq.size() : 1.0;
         double s = cands[i].score / len;
-        if (s > best_score) { best_score = s; best = i; }
+        if (s > best_score) {
+          best_score = s;
+          best = i;
+        }
       }
       if (!cands.empty()) seq = cands[best].seq;
     }
@@ -537,8 +564,9 @@ int main(int argc, char** argv) {
       if (t >= (int32_t)p.timestamp_begin) {
         last_ts = t - (int64_t)p.timestamp_begin;
       } else if (t < (int32_t)p.n_text_tokens) {
-        wtext += vocab[(size_t)t];
+        wtext += e.vocab[(size_t)t];
       }
+      if (tokens_out) tokens_out->push_back(t);
     }
     if (print_tokens) fprintf(stderr, "\n");
     text += wtext;
@@ -557,14 +585,123 @@ int main(int argc, char** argv) {
   double loop_s = now_s() - t_loop;
   fprintf(stderr, "[wtpu] %d window(s) in %.2f s (%.1fx RT)\n", n_windows,
           loop_s, (double)n_samples / p.sample_rate / (loop_s > 0 ? loop_s : 1));
-
-  printf("%s\n", text.c_str());
-
   audioio_free(samples);
   audioio_free(mel);
-  wtpu_pjrt_executable_destroy(ctx.client, enc.exec);
-  wtpu_pjrt_executable_destroy(ctx.client, ckv.exec);
-  wtpu_pjrt_executable_destroy(ctx.client, dec.exec);
-  wtpu_pjrt_client_destroy(ctx.client);
+  *text_out = text;
+  return true;
+}
+
+std::string json_escape(const std::string& s) {
+  std::string o;
+  for (unsigned char c : s) {
+    if (c == '"' || c == '\\') { o += '\\'; o += (char)c; }
+    else if (c == '\n') o += "\\n";
+    else if (c < 0x20) { char b[8]; snprintf(b, sizeof(b), "\\u%04x", c); o += b; }
+    else o += (char)c;
+  }
+  return o;
+}
+
+}  // namespace
+
+#include <sys/socket.h>
+#include <sys/un.h>
+#include <unistd.h>
+
+namespace {
+
+// Daemon mode: a unix-socket transcription service (the serving analog the
+// single-shot reference lacks). Protocol: one request line per connection,
+//   <audio_path> [beam]\n
+// response: one JSON line {"text": ..., "tokens": [...]} or {"error": ...}.
+int serve(Engine& e, const std::string& sock_path) {
+  unlink(sock_path.c_str());
+  int fd = socket(AF_UNIX, SOCK_STREAM, 0);
+  if (fd < 0) die("socket() failed");
+  sockaddr_un addr;
+  memset(&addr, 0, sizeof(addr));
+  addr.sun_family = AF_UNIX;
+  strncpy(addr.sun_path, sock_path.c_str(), sizeof(addr.sun_path) - 1);
+  if (bind(fd, (sockaddr*)&addr, sizeof(addr)) != 0) die("bind() failed");
+  if (listen(fd, 8) != 0) die("listen() failed");
+  fprintf(stderr, "[wtpu] serving on %s\n", sock_path.c_str());
+  for (;;) {
+    int c = accept(fd, nullptr, nullptr);
+    if (c < 0) continue;
+    std::string req;
+    char buf[512];
+    ssize_t n;
+    while ((n = read(c, buf, sizeof(buf))) > 0) {
+      req.append(buf, (size_t)n);
+      if (req.find('\n') != std::string::npos) break;
+    }
+    size_t nl = req.find('\n');
+    if (nl != std::string::npos) req.resize(nl);
+    while (!req.empty() && (req.back() == '\r' || req.back() == ' ')) req.pop_back();
+    bool beam = false;
+    size_t sp = req.rfind(' ');
+    if (sp != std::string::npos && req.substr(sp + 1) == "beam") {
+      beam = true;
+      req.resize(sp);
+    }
+    std::string text, err, resp;
+    std::vector<int32_t> toks;
+    if (req == "shutdown") {
+      resp = "{\"ok\": true}\n";
+      (void)!write(c, resp.data(), resp.size());
+      close(c);
+      break;
+    }
+    if (transcribe_file(e, req, beam, 1 << 30, false, &text, &toks, &err)) {
+      resp = "{\"text\": \"" + json_escape(text) + "\", \"tokens\": [";
+      for (size_t i = 0; i < toks.size(); i++) {
+        if (i) resp += ",";
+        resp += std::to_string(toks[i]);
+      }
+      resp += "]}\n";
+    } else {
+      resp = "{\"error\": \"" + json_escape(err) + "\"}\n";
+    }
+    (void)!write(c, resp.data(), resp.size());
+    close(c);
+  }
+  close(fd);
+  unlink(sock_path.c_str());
+  return 0;
+}
+
+}  // namespace
+
+int main(int argc, char** argv) {
+  std::string plugin = "/opt/axon/libaxon_pjrt.so";
+  std::string dir, audio_path, serve_path;
+  int max_windows = 1 << 30;
+  bool print_tokens = false;
+  bool beam = false;
+  for (int i = 1; i < argc; i++) {
+    std::string a = argv[i];
+    if (a == "--plugin" && i + 1 < argc) plugin = argv[++i];
+    else if (a == "--max-windows" && i + 1 < argc) max_windows = atoi(argv[++i]);
+    else if (a == "--tokens") print_tokens = true;
+    else if (a == "--beam") beam = true;
+    else if (a == "--serve" && i + 1 < argc) serve_path = argv[++i];
+    else if (dir.empty()) dir = a;
+    else audio_path = a;
+  }
+  if (dir.empty() || (audio_path.empty() && serve_path.empty()))
+    die("usage: wtpu_transcribe <pipeline_dir> <audio> [--plugin SO] "
+        "[--max-windows N] [--tokens] [--beam] | <pipeline_dir> --serve SOCK");
+
+  Engine e;
+  if (!serve_path.empty()) {
+    engine_init(e, dir, plugin, /*greedy=*/true, /*beam=*/true);
+    return serve(e, serve_path);
+  }
+  engine_init(e, dir, plugin, /*greedy=*/!beam, /*beam=*/beam);
+  std::string text, err;
+  if (!transcribe_file(e, audio_path, beam, max_windows, print_tokens, &text,
+                       nullptr, &err))
+    die(err);
+  printf("%s\n", text.c_str());
   return 0;
 }
