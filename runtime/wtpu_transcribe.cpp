@@ -27,6 +27,7 @@
 #include <cstdlib>
 #include <cstring>
 #include <ctime>
+#include <zlib.h>
 
 static double now_s() {
   struct timespec ts;
@@ -418,7 +419,151 @@ void engine_init(Engine& e, const std::string& dir, const std::string& plugin,
   e.h_seed = upload(e.ctx, &seed, din[(size_t)base + 10]);
 }
 
+// ---- one window decode: run the graph chain, select the output sequence ----
+struct WindowResult {
+  std::vector<int32_t> seq;  // sampled tokens, eot excluded
+  double sum_lp = 0.0;       // cumulative logprob of the selected sequence
+  double no_speech = 0.0;
+};
+
+WindowResult decode_window(Engine& e, bool beam, void* h_ck, void* h_cv,
+                           float temperature, int32_t seed) {
+  Graph& dec = (beam && temperature == 0.0f) ? e.dec_beam : e.dec_greedy;
+  const bool use_beam = beam && temperature == 0.0f;
+  const Pipeline& p = e.p;
+  Ctx& ctx = e.ctx;
+  const int32_t sb = e.sb;
+  const auto& din = dec.spec.inputs;
+  int base = dec.spec.n_params;
+
+  void* h_temp = e.h_temp;
+  void* h_seed = e.h_seed;
+  bool own_scalars = temperature != 0.0f || seed != 0;
+  if (own_scalars) {
+    h_temp = upload(ctx, &temperature, din[(size_t)base + 9]);
+    h_seed = upload(ctx, &seed, din[(size_t)base + 10]);
+  }
+  std::vector<void*> out =
+      run(ctx, dec,
+          {e.h_toks, e.h_sb, h_ck, h_cv, e.h_sot, e.h_sup, e.h_blk, e.h_mx,
+           e.h_slen, h_temp, h_seed});
+  if (own_scalars) {
+    wtpu_pjrt_buffer_destroy(ctx.client, h_temp);
+    wtpu_pjrt_buffer_destroy(ctx.client, h_seed);
+  }
+
+  // outputs: tokens (G,448) i32, n_tokens i32, sum_logprobs (G,) f32,
+  // no_speech (A,) f32, ftok (A,MC,449) i32, fscore, flen, fcount
+  auto fetch_i32 = [&](void* h, int32_t* dst, int64_t n, const TensorSpec& t) {
+    if (wtpu_pjrt_buffer_to_host(ctx.client, h, dst, n * 4, t.dims.data(),
+                                 (int32_t)t.dims.size()))
+      die(std::string("fetch failed: ") + wtpu_pjrt_last_error());
+  };
+  auto fetch_f32 = [&](void* h, float* dst, int64_t n, const TensorSpec& t) {
+    if (wtpu_pjrt_buffer_to_host(ctx.client, h, dst, n * 4, t.dims.data(),
+                                 (int32_t)t.dims.size()))
+      die(std::string("fetch failed: ") + wtpu_pjrt_last_error());
+  };
+  std::vector<int32_t> out_toks((size_t)dec.spec.outputs[0].elems());
+  int32_t n_tokens = 0;
+  float no_speech = 0.0f;
+  fetch_i32(out[0], out_toks.data(), (int64_t)out_toks.size(),
+            dec.spec.outputs[0]);
+  fetch_i32(out[1], &n_tokens, 1, dec.spec.outputs[1]);
+  fetch_f32(out[3], &no_speech, 1, dec.spec.outputs[3]);
+
+  WindowResult res;
+  res.no_speech = no_speech;
+  if (!use_beam) {
+    std::vector<float> slp((size_t)dec.spec.outputs[2].elems());
+    fetch_f32(out[2], slp.data(), (int64_t)slp.size(), dec.spec.outputs[2]);
+    res.sum_lp = slp[0];
+    for (int32_t i = sb; i < n_tokens; i++) {
+      int32_t t = out_toks[(size_t)i];
+      if (t == (int32_t)p.eot) break;
+      res.seq.push_back(t);
+    }
+  } else {
+    // the reference's finalize + MaximumLikelihoodRanker
+    // (decoding.py:369-398, 215-234): finished candidates (cumulative
+    // logprob) topped up with live beams by sum_logprob, ranked by
+    // score / sampled_length (length_penalty None)
+    int64_t G = dec.spec.outputs[0].dims[0];
+    int64_t MC = dec.spec.outputs[4].dims[1];
+    int64_t FT = dec.spec.outputs[4].dims[2];
+    std::vector<float> slp((size_t)G);
+    std::vector<int32_t> ftok((size_t)(MC * FT));
+    std::vector<float> fscore((size_t)MC);
+    std::vector<int32_t> flen((size_t)MC);
+    int32_t fcount = 0;
+    fetch_f32(out[2], slp.data(), G, dec.spec.outputs[2]);
+    fetch_i32(out[4], ftok.data(), MC * FT, dec.spec.outputs[4]);
+    fetch_f32(out[5], fscore.data(), MC, dec.spec.outputs[5]);
+    fetch_i32(out[6], flen.data(), MC, dec.spec.outputs[6]);
+    fetch_i32(out[7], &fcount, 1, dec.spec.outputs[7]);
+
+    struct Cand {
+      std::vector<int32_t> seq;
+      double score;
+    };
+    std::vector<Cand> cands;
+    for (int32_t i = 0; i < fcount; i++) {
+      Cand c;
+      for (int32_t j = sb; j < flen[(size_t)i] - 1; j++)  // drop trailing eot
+        c.seq.push_back(ftok[(size_t)(i * FT + j)]);
+      c.score = fscore[(size_t)i];
+      cands.push_back(std::move(c));
+    }
+    if ((int64_t)cands.size() < G) {
+      std::vector<int> order((size_t)G);
+      for (int b = 0; b < (int)G; b++) order[(size_t)b] = b;
+      for (size_t a = 0; a < order.size(); a++)  // stable desc by sum_logprob
+        for (size_t b = a + 1; b < order.size(); b++)
+          if (slp[(size_t)order[b]] > slp[(size_t)order[a]])
+            std::swap(order[a], order[b]);
+      for (int b : order) {
+        if ((int64_t)cands.size() >= G) break;
+        Cand c;
+        for (int32_t j = sb; j < n_tokens; j++)
+          c.seq.push_back(
+              out_toks[(size_t)(b * dec.spec.outputs[0].dims[1] + j)]);
+        c.score = slp[(size_t)b];
+        cands.push_back(std::move(c));
+      }
+    }
+    size_t best = 0;
+    double best_score = -1e30;
+    for (size_t i = 0; i < cands.size(); i++) {
+      double len = cands[i].seq.size() > 0 ? (double)cands[i].seq.size() : 1.0;
+      double s = cands[i].score / len;
+      if (s > best_score) {
+        best_score = s;
+        best = i;
+      }
+    }
+    if (!cands.empty()) {
+      res.seq = cands[best].seq;
+      res.sum_lp = cands[best].score;
+    }
+  }
+  for (void* h : out) wtpu_pjrt_buffer_destroy(ctx.client, h);
+  return res;
+}
+
+double compression_ratio(const std::string& text) {
+  if (text.empty()) return 0.0;
+  uLongf cap = compressBound((uLong)text.size());
+  std::vector<Bytef> buf((size_t)cap);
+  if (compress(buf.data(), &cap, (const Bytef*)text.data(),
+               (uLong)text.size()) != Z_OK)
+    return 0.0;
+  return (double)text.size() / (double)cap;
+}
+
 // Transcribe one file; returns false + *err on failure (the engine survives).
+// Applies the reference's temperature-fallback ladder + quality gates
+// (transcribe.py:188-228: compression_ratio > 2.4 or avg_logprob < -1.0 ->
+// retry at higher temperature; no-speech windows are skipped).
 bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
                      int max_windows, bool print_tokens, std::string* text_out,
                      std::vector<int32_t>* tokens_out, std::string* err) {
@@ -426,10 +571,12 @@ bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
     *err = "beam graph not loaded";
     return false;
   }
-  Graph& dec = beam ? e.dec_beam : e.dec_greedy;
+  if (!beam && !e.dec_greedy.exec) {
+    *err = "greedy graph not loaded";
+    return false;
+  }
   const Pipeline& p = e.p;
   Ctx& ctx = e.ctx;
-  const int32_t sb = e.sb;
 
   float* samples = nullptr;
   int64_t n_samples = 0;
@@ -449,6 +596,11 @@ bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
           audio_path.c_str(), (double)n_samples / p.sample_rate,
           (long long)content_frames);
 
+  static const float kTemps[] = {0.0f, 0.2f, 0.4f, 0.6f, 0.8f, 1.0f};
+  const double kCompressionThreshold = 2.4;
+  const double kLogprobThreshold = -1.0;
+  const double kNoSpeechThreshold = 0.6;
+
   std::vector<float> window((size_t)p.n_mels * 3000);
   std::string text;
   int64_t seek = 0;
@@ -458,125 +610,55 @@ bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
     for (int m = 0; m < p.n_mels; m++)
       memcpy(window.data() + (size_t)m * 3000, mel + m * n_frames + seek,
              3000 * sizeof(float));
-    void* h_mel =
-        upload(ctx, window.data(), e.enc.spec.inputs[(size_t)e.enc.spec.n_params]);
+    void* h_mel = upload(ctx, window.data(),
+                         e.enc.spec.inputs[(size_t)e.enc.spec.n_params]);
     std::vector<void*> xa = run(ctx, e.enc, {h_mel});
     std::vector<void*> kv = run(ctx, e.ckv, {xa[0]});
-    std::vector<void*> out =
-        run(ctx, dec,
-            {e.h_toks, e.h_sb, kv[0], kv[1], e.h_sot, e.h_sup, e.h_blk, e.h_mx,
-             e.h_slen, e.h_temp, e.h_seed});
 
-    // outputs: tokens (G,448) i32, n_tokens i32, sum_logprobs (G,) f32,
-    // no_speech (1,) f32, ftok (1,MC,449) i32, fscore (1,MC) f32,
-    // flen (1,MC) i32, fcount (1,) i32
-    auto fetch_i32 = [&](void* h, int32_t* dst, int64_t n, const TensorSpec& t) {
-      if (wtpu_pjrt_buffer_to_host(ctx.client, h, dst, n * 4, t.dims.data(),
-                                   (int32_t)t.dims.size()))
-        die(std::string("fetch failed: ") + wtpu_pjrt_last_error());
-    };
-    std::vector<int32_t> out_toks((size_t)dec.spec.outputs[0].elems());
-    int32_t n_tokens = 0;
-    fetch_i32(out[0], out_toks.data(), (int64_t)out_toks.size(),
-              dec.spec.outputs[0]);
-    fetch_i32(out[1], &n_tokens, 1, dec.spec.outputs[1]);
-
-    // select the output sequence: greedy -> row 0; beam -> the reference's
-    // finalize + MaximumLikelihoodRanker (decoding.py:369-398, 215-234):
-    // finished candidates (cumulative logprob) topped up with live beams by
-    // sum_logprob, ranked by score / sampled_length (length_penalty None)
-    std::vector<int32_t> seq;  // sampled region, eot excluded
-    if (!beam) {
-      for (int32_t i = sb; i < n_tokens; i++) {
-        int32_t t = out_toks[(size_t)i];
-        if (t == (int32_t)p.eot) break;
-        seq.push_back(t);
-      }
-    } else {
-      int64_t G = dec.spec.outputs[0].dims[0];
-      int64_t MC = dec.spec.outputs[4].dims[1];
-      int64_t FT = dec.spec.outputs[4].dims[2];
-      std::vector<float> slp((size_t)G);
-      std::vector<int32_t> ftok((size_t)(MC * FT));
-      std::vector<float> fscore((size_t)MC);
-      std::vector<int32_t> flen((size_t)MC);
-      int32_t fcount = 0;
-      if (wtpu_pjrt_buffer_to_host(ctx.client, out[2], slp.data(), G * 4,
-                                   dec.spec.outputs[2].dims.data(),
-                                   (int32_t)dec.spec.outputs[2].dims.size()))
-        die(std::string("slp fetch failed: ") + wtpu_pjrt_last_error());
-      fetch_i32(out[4], ftok.data(), MC * FT, dec.spec.outputs[4]);
-      if (wtpu_pjrt_buffer_to_host(ctx.client, out[5], fscore.data(), MC * 4,
-                                   dec.spec.outputs[5].dims.data(),
-                                   (int32_t)dec.spec.outputs[5].dims.size()))
-        die(std::string("fscore fetch failed: ") + wtpu_pjrt_last_error());
-      fetch_i32(out[6], flen.data(), MC, dec.spec.outputs[6]);
-      fetch_i32(out[7], &fcount, 1, dec.spec.outputs[7]);
-
-      struct Cand {
-        std::vector<int32_t> seq;
-        double score;
-      };
-      std::vector<Cand> cands;
-      for (int32_t i = 0; i < fcount; i++) {
-        Cand c;
-        for (int32_t j = sb; j < flen[(size_t)i] - 1; j++)  // drop trailing eot
-          c.seq.push_back(ftok[(size_t)(i * FT + j)]);
-        c.score = fscore[(size_t)i];
-        cands.push_back(std::move(c));
-      }
-      if ((int64_t)cands.size() < G) {
-        std::vector<int> order((size_t)G);
-        for (int b = 0; b < (int)G; b++) order[(size_t)b] = b;
-        for (size_t a = 0; a < order.size(); a++)  // stable desc by sum_logprob
-          for (size_t b = a + 1; b < order.size(); b++)
-            if (slp[(size_t)order[b]] > slp[(size_t)order[a]])
-              std::swap(order[a], order[b]);
-        for (int b : order) {
-          if ((int64_t)cands.size() >= G) break;
-          Cand c;
-          for (int32_t j = sb; j < n_tokens; j++)
-            c.seq.push_back(
-                out_toks[(size_t)(b * dec.spec.outputs[0].dims[1] + j)]);
-          c.score = slp[(size_t)b];
-          cands.push_back(std::move(c));
-        }
-      }
-      size_t best = 0;
-      double best_score = -1e30;
-      for (size_t i = 0; i < cands.size(); i++) {
-        double len = cands[i].seq.size() > 0 ? (double)cands[i].seq.size() : 1.0;
-        double s = cands[i].score / len;
-        if (s > best_score) {
-          best_score = s;
-          best = i;
-        }
-      }
-      if (!cands.empty()) seq = cands[best].seq;
+    WindowResult res;
+    double avg_lp = 0.0;
+    std::string wtext;
+    for (size_t ti = 0; ti < sizeof(kTemps) / sizeof(kTemps[0]); ti++) {
+      float t = kTemps[ti];
+      res = decode_window(e, beam, kv[0], kv[1], t,
+                          t > 0 ? (int32_t)(n_windows * 6 + (int)ti) : 0);
+      wtext.clear();
+      for (int32_t tok : res.seq)
+        if (tok < (int32_t)p.n_text_tokens) wtext += e.vocab[(size_t)tok];
+      avg_lp = res.sum_lp / (double)(res.seq.size() + 1);
+      bool needs_fallback =
+          compression_ratio(wtext) > kCompressionThreshold ||
+          avg_lp < kLogprobThreshold;
+      if (res.no_speech > kNoSpeechThreshold && avg_lp < kLogprobThreshold)
+        needs_fallback = false;  // silence: accept and skip below
+      if (!needs_fallback) break;
+      if (ti + 1 < sizeof(kTemps) / sizeof(kTemps[0]))
+        fprintf(stderr, "[wtpu] window %d: fallback to t=%.1f\n", n_windows,
+                kTemps[ti + 1]);
     }
 
-    // detokenize + find the trailing timestamp for the seek rule
-    // (transcribe.py: seek to the last timestamp if the segment ended on one)
+    for (void* h : xa) wtpu_pjrt_buffer_destroy(ctx.client, h);
+    for (void* h : kv) wtpu_pjrt_buffer_destroy(ctx.client, h);
+    wtpu_pjrt_buffer_destroy(ctx.client, h_mel);
+
+    if (res.no_speech > kNoSpeechThreshold && avg_lp < kLogprobThreshold) {
+      fprintf(stderr, "[wtpu] window %d @%.1fs: no speech (p=%.2f), skipped\n",
+              n_windows, seek / 100.0, res.no_speech);
+      seek += 3000;
+      n_windows++;
+      continue;
+    }
+
     int64_t last_ts = -1;
-    std::string wtext;
-    for (int32_t t : seq) {
+    for (int32_t t : res.seq) {
       if (print_tokens) fprintf(stderr, "%d ", t);
-      if (t >= (int32_t)p.timestamp_begin) {
-        last_ts = t - (int64_t)p.timestamp_begin;
-      } else if (t < (int32_t)p.n_text_tokens) {
-        wtext += e.vocab[(size_t)t];
-      }
+      if (t >= (int32_t)p.timestamp_begin) last_ts = t - (int64_t)p.timestamp_begin;
       if (tokens_out) tokens_out->push_back(t);
     }
     if (print_tokens) fprintf(stderr, "\n");
     text += wtext;
-    fprintf(stderr, "[wtpu] window %d @%.1fs: %zu tokens\n", n_windows,
-            seek / 100.0, seq.size());
-
-    for (void* h : xa) wtpu_pjrt_buffer_destroy(ctx.client, h);
-    for (void* h : kv) wtpu_pjrt_buffer_destroy(ctx.client, h);
-    for (void* h : out) wtpu_pjrt_buffer_destroy(ctx.client, h);
-    wtpu_pjrt_buffer_destroy(ctx.client, h_mel);
+    fprintf(stderr, "[wtpu] window %d @%.1fs: %zu tokens (avg_lp %.2f)\n",
+            n_windows, seek / 100.0, res.seq.size(), avg_lp);
 
     // each timestamp unit is 20 ms = 2 mel frames
     seek += (last_ts > 0) ? last_ts * 2 : 3000;
@@ -697,7 +779,7 @@ int main(int argc, char** argv) {
     engine_init(e, dir, plugin, /*greedy=*/true, /*beam=*/true);
     return serve(e, serve_path);
   }
-  engine_init(e, dir, plugin, /*greedy=*/!beam, /*beam=*/beam);
+  engine_init(e, dir, plugin, /*greedy=*/true, /*beam=*/beam);
   std::string text, err;
   if (!transcribe_file(e, audio_path, beam, max_windows, print_tokens, &text,
                        nullptr, &err))
