@@ -391,7 +391,12 @@ def decode_step(
         x = x + _mlp(x, blk)
         return x, jnp.stack([k, v])  # (2, beam, d) — this layer's new slot
 
-    x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))
+    # shallow decoders (turbo: 4 layers) unroll: one fused block instead of
+    # scan mechanics + per-iteration launches (the turbo loop was ~50%
+    # sequencing overhead at 0.75 ms/step of actual device work)
+    x, new_kv = jax.lax.scan(
+        block, x, (blocks, cache, ck, cv), unroll=True if L <= 8 else 1
+    )
     new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
     if W != C and reorder:
         # write the reordered slab (with the new slot) back into the full cache
