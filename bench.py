@@ -13,7 +13,7 @@ runs the full compute path with random turbo-dimension weights and a FIXED
 decode workload, which makes the measurement deterministic and independent of
 what random logits happen to sample:
 
-  per 60 s clip = host log-mel of 60 s audio
+  per 60 s clip = on-device log-mel of 60 s audio (DFT-matmul STFT)
                 + 2 windows x ( encoder(1,128,3000) + cross-KV precompute
                 + prefill + 96 fused beam-search steps at beam 5, EOT
                 suppressed so exactly 96 tokens are always decoded ).
@@ -44,9 +44,11 @@ CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache
 jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
+import jax.numpy as jnp  # noqa: E402
+
 from whisper_tpu.engine_fused import FusedEngine  # noqa: E402
 from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
-from whisper_tpu.ops.stft import log_mel_spectrogram_np  # noqa: E402
+from whisper_tpu.ops.stft import log_mel_spectrogram_jax  # noqa: E402
 from whisper_tpu.tokenizer import get_tokenizer  # noqa: E402
 
 CLIP_SECONDS = 60
@@ -89,9 +91,15 @@ def main():
     suppress_ids = [tok.eot]  # fixed-length workload: never finish early
     blank_ids = tok.encode(" ") + [tok.eot]
 
+    # on-device mel: the STFT runs as a real-DFT matmul on the MXU and the
+    # result feeds the encoder without ever leaving HBM (the reference's
+    # torch.stft mel is host-side; ours was 62 ms/clip of numpy before)
+    mel_fn = jax.jit(lambda a: log_mel_spectrogram_jax(a, dims.n_mels))
+    audio_padded = np.pad(audio, (0, 480000))
+
     def run_clip(trace=lambda m: None):
-        mel = log_mel_spectrogram_np(audio, dims.n_mels, padding=480000)
-        trace("mel done")
+        mel = mel_fn(jnp.asarray(audio_padded))
+        trace("mel dispatched")
         outs = []
         for w in range(n_windows):
             window = mel[:, w * 3000 : (w + 1) * 3000]

@@ -76,12 +76,21 @@ def log_mel_spectrogram_jax(audio, n_mels: int = 80):
     )  # (n_frames, N_FFT)
     frames = padded[:, idx]  # (b, n_frames, N_FFT)
 
-    window = jnp.asarray(_hann_window(N_FFT), dtype=jnp.float32)
-    spec = jnp.fft.rfft(frames * window, axis=-1)
-    magnitudes = jnp.abs(spec[:, :-1, :]) ** 2  # (b, n//160, 201)
+    # STFT as a real-DFT MATMUL: length-400 FFTs lower poorly on TPU (slower
+    # than host numpy), while (frames @ basis) rides the MXU. The hann window
+    # is folded into the basis; 'highest' precision keeps f32 accuracy on
+    # the bf16-MXU default path.
+    window = _hann_window(N_FFT)
+    k = np.arange(N_FFT)[:, None] * np.arange(N_FFT // 2 + 1)[None, :]
+    ang = -2.0 * np.pi * k / N_FFT
+    cos_b = jnp.asarray((np.cos(ang) * window[:, None]).astype(np.float32))
+    sin_b = jnp.asarray((np.sin(ang) * window[:, None]).astype(np.float32))
+    re = jnp.einsum("btn,nf->btf", frames, cos_b, precision="highest")
+    im = jnp.einsum("btn,nf->btf", frames, sin_b, precision="highest")
+    magnitudes = (re * re + im * im)[:, :-1, :]  # (b, n//160, 201)
 
     filters = jnp.asarray(mel_filterbank(n_mels))  # (n_mels, 201)
-    mel = jnp.einsum("mf,btf->bmt", filters, magnitudes)
+    mel = jnp.einsum("mf,btf->bmt", filters, magnitudes, precision="highest")
 
     log_spec = jnp.log10(jnp.maximum(mel, 1e-10))
     global_max = jnp.max(log_spec, axis=(1, 2), keepdims=True)
