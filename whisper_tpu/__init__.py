@@ -19,6 +19,7 @@ from .models.params import (
 )
 from .models.registry import ALIGNMENT_HEADS, available_models, download_checkpoint
 from .batch import transcribe_batch, transcribe_chunked
+from .streaming import StreamingTranscriber
 from .transcribe import transcribe
 from .version import __version__
 
@@ -37,6 +38,7 @@ __all__ = [
     "transcribe",
     "transcribe_batch",
     "transcribe_chunked",
+    "StreamingTranscriber",
     "__version__",
 ]
 

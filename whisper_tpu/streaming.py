@@ -1,0 +1,251 @@
+"""Incremental (streaming) transcription.
+
+The reference is strictly batch: `transcribe()` requires the full audio up
+front (/root/reference/whisper/transcribe.py:41-143). This module accepts
+audio in arbitrary-size chunks and emits finalized segments as soon as a full
+30-second window is available, reusing the same windowed decode semantics
+(temperature-fallback ladder, no-speech skip, timestamp-based seek, prompt
+conditioning):
+
+    st = StreamingTranscriber(model, language="en")
+    for chunk in pcm_chunks:           # float32 @ 16 kHz, any length
+        for seg in st.feed(chunk):
+            print(seg["text"])
+    for seg in st.flush():             # decode the final partial window
+        print(seg["text"])
+
+Mel is computed over the retained audio with the same boundary handling as
+the batch path, so a stream fed in chunks produces the same segments as
+`transcribe()` on the concatenated audio (pinned in tests for the supported
+option subset: no clip_timestamps / word timestamps / hallucination
+heuristics — use transcribe() for those).
+"""
+
+from typing import List, Optional
+
+import numpy as np
+
+from .audio import (
+    HOP_LENGTH,
+    N_FRAMES,
+    N_SAMPLES,
+    SAMPLE_RATE,
+    log_mel_spectrogram,
+    pad_or_trim,
+)
+from .decoding import DecodingOptions, DecodingResult
+from .tokenizer import get_tokenizer
+from .transcribe import segments_from_tokens
+from .utils import exact_div
+
+
+class StreamingTranscriber:
+    """Stateful incremental transcriber over one audio stream."""
+
+    def __init__(
+        self,
+        model,
+        *,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = True,
+        **decode_options,
+    ):
+        self.model = model
+        if language is None and not model.is_multilingual:
+            language = "en"
+        if language is None:
+            raise ValueError(
+                "streaming requires a fixed language (auto-detect would need "
+                "the first window before emitting anything; pass language=...)"
+            )
+        self.language = language
+        self.task = task
+        self.temperatures = (
+            [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+        )
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.condition_on_previous_text = condition_on_previous_text
+        self.decode_options = decode_options
+
+        self.tokenizer = get_tokenizer(
+            model.is_multilingual,
+            num_languages=model.num_languages,
+            language=language,
+            task=task,
+        )
+        self._audio = np.zeros(0, np.float32)
+        self._seek = 0  # mel frames consumed (absolute)
+        self._all_tokens: List[int] = []
+        self._prompt_reset_since = 0
+        self._segments: List[dict] = []
+        self._input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+        self._time_precision = self._input_stride * HOP_LENGTH / SAMPLE_RATE
+        self._flushed = False
+
+    # -- internals ---------------------------------------------------------
+
+    def _decode_window(self, mel_window) -> DecodingResult:
+        result = None
+        for t in self.temperatures:
+            kwargs = dict(self.decode_options)
+            if t > 0:
+                kwargs.pop("beam_size", None)
+                kwargs.pop("patience", None)
+            else:
+                kwargs.pop("best_of", None)
+            prompt = (
+                self._all_tokens[self._prompt_reset_since :]
+                if self.condition_on_previous_text
+                else []
+            )
+            options = DecodingOptions(
+                language=self.language,
+                task=self.task,
+                temperature=t,
+                prompt=prompt,
+                **kwargs,
+            )
+            result = self.model.decode(mel_window, options)
+            needs_fallback = False
+            if (
+                self.compression_ratio_threshold is not None
+                and result.compression_ratio > self.compression_ratio_threshold
+            ):
+                needs_fallback = True
+            if (
+                self.logprob_threshold is not None
+                and result.avg_logprob < self.logprob_threshold
+            ):
+                needs_fallback = True
+            if (
+                self.no_speech_threshold is not None
+                and result.no_speech_prob > self.no_speech_threshold
+                and self.logprob_threshold is not None
+                and result.avg_logprob < self.logprob_threshold
+            ):
+                needs_fallback = False
+            if not needs_fallback:
+                break
+        return result
+
+    # STFT windows look ±N_FFT/2 samples past a frame boundary; waiting for
+    # this many extra frames before decoding a non-final window guarantees
+    # the emitted frames are bit-identical to a whole-file mel.
+    _LOOKAHEAD_FRAMES = 2
+
+    def _process(self, final: bool) -> List[dict]:
+        """Decode as many complete windows as the buffer allows."""
+        out: List[dict] = []
+        mel_full = None
+        while True:
+            content_frames = len(self._audio) // HOP_LENGTH
+            avail = content_frames - self._seek
+            if avail <= 0:
+                break
+            if avail < N_FRAMES + self._LOOKAHEAD_FRAMES and not final:
+                break  # wait for a full window (+ mel lookahead margin)
+            if mel_full is None:
+                # mel over the WHOLE retained buffer + the same zero padding
+                # as transcribe(): window slices match the batch path exactly
+                mel_full = np.asarray(
+                    log_mel_spectrogram(
+                        self._audio, self.model.dims.n_mels, padding=N_SAMPLES
+                    )
+                )
+            segment_size = min(N_FRAMES, avail)
+            mel_window = pad_or_trim(
+                mel_full[:, self._seek : self._seek + segment_size], N_FRAMES
+            )
+            time_offset = float(self._seek * HOP_LENGTH / SAMPLE_RATE)
+
+            result = self._decode_window(mel_window.astype(np.float32))
+
+            if (
+                self.no_speech_threshold is not None
+                and result.no_speech_prob > self.no_speech_threshold
+                and not (
+                    self.logprob_threshold is not None
+                    and result.avg_logprob > self.logprob_threshold
+                )
+            ):
+                self._seek += segment_size
+                continue
+
+            seek_ref = self._seek
+            tokenizer = self.tokenizer
+
+            def make_segment(*, start, end, tokens, result):
+                tokens = [int(t) for t in tokens]
+                text_tokens = [t for t in tokens if t < tokenizer.eot]
+                return {
+                    "seek": seek_ref,
+                    "start": start,
+                    "end": end,
+                    "text": tokenizer.decode(text_tokens),
+                    "tokens": tokens,
+                    "temperature": result.temperature,
+                    "avg_logprob": result.avg_logprob,
+                    "compression_ratio": result.compression_ratio,
+                    "no_speech_prob": result.no_speech_prob,
+                }
+
+            segments, self._seek, _ = segments_from_tokens(
+                tokens=np.array(result.tokens),
+                tokenizer=self.tokenizer,
+                result=result,
+                seek=self._seek,
+                segment_size=segment_size,
+                time_offset=time_offset,
+                time_precision=self._time_precision,
+                input_stride=self._input_stride,
+                make_segment=make_segment,
+            )
+            for seg in segments:
+                if seg["start"] == seg["end"] or seg["text"].strip() == "":
+                    seg["text"] = ""
+                    seg["tokens"] = []
+            numbered = [
+                {"id": i, **seg}
+                for i, seg in enumerate(segments, start=len(self._segments))
+            ]
+            self._segments.extend(numbered)
+            out.extend(numbered)
+            self._all_tokens.extend(t for seg in segments for t in seg["tokens"])
+            if not self.condition_on_previous_text or result.temperature > 0.5:
+                self._prompt_reset_since = len(self._all_tokens)
+            if final and self._seek >= content_frames:
+                break
+        return out
+
+    # -- public API ----------------------------------------------------------
+
+    def feed(self, audio: np.ndarray) -> List[dict]:
+        """Append PCM (float32 mono @ 16 kHz); returns newly final segments."""
+        if self._flushed:
+            raise RuntimeError("stream already flushed")
+        audio = np.asarray(audio, dtype=np.float32).reshape(-1)
+        self._audio = np.concatenate([self._audio, audio])
+        return self._process(final=False)
+
+    def flush(self) -> List[dict]:
+        """Decode the remaining partial window and end the stream."""
+        if self._flushed:
+            return []
+        self._flushed = True
+        return self._process(final=True)
+
+    @property
+    def result(self) -> dict:
+        """transcribe()-shaped result over everything emitted so far."""
+        return {
+            "text": "".join(seg["text"] for seg in self._segments),
+            "segments": self._segments,
+            "language": self.language,
+        }
