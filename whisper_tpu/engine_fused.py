@@ -53,6 +53,11 @@ class FusedConfig(NamedTuple):
     # single-pass greedy kernel (filters + argmax + logsumexp in ~1 vocab
     # pass); applies when beam_search is False and temperature == 0
     pallas_greedy: bool = False
+    # cache slots actually ALLOCATED: the smallest bucket holding
+    # n_initial + sample_len (static at engine.run). The default sample_len
+    # (n_ctx//2) never reaches the 448-slot phase, so its buffers should
+    # never exist — at large-v3 x 16 streams x beam 5 that is ~5 GB of HBM
+    last_window: int = 448
     pallas_interpret: bool = False  # interpret mode off-TPU
 
 
@@ -340,9 +345,12 @@ def fused_decode(
     hidden, kv = graphs.prefill(
         dec_params, prefill_tokens, sample_begin, ck, cv, n_head=n_head
     )
-    cache = jnp.zeros((L, 2, B, n_ctx, d), dtype=cache_dtype)
+    n_cache = min(n_ctx, cfg.last_window)
+    cache = jnp.zeros((L, 2, B, n_cache, d), dtype=cache_dtype)
     kv_b = jnp.repeat(kv.astype(cache_dtype), G, axis=2)  # (L, 2, B, P, d)
-    cache = jax.lax.dynamic_update_slice(cache, kv_b, (0, 0, 0, 0, 0))
+    cache = jax.lax.dynamic_update_slice(
+        cache, kv_b[:, :, :, : min(kv_b.shape[3], n_cache)], (0, 0, 0, 0, 0)
+    )
 
     last_hidden = hidden[:, sample_begin - 1]  # (A, d)
     sot_hidden = hidden[:, sot_index]
@@ -528,8 +536,10 @@ def fused_decode(
     # batched decode, where cache movement (not math) dominated the profile.
     # A loop whose entry condition is already false never runs: short
     # decodes (the common case) stay entirely in the small-window phases.
-    for window in (128, 256, n_ctx):
-        if window >= n_ctx:
+    for window in (128, 256, n_cache):
+        if window > n_cache:
+            continue
+        if window >= n_cache:
             state = jax.lax.while_loop(cond, make_body(None), state)
         else:
             # decode_step writes slot n_tokens-1, so the phase is valid
@@ -616,6 +626,8 @@ class FusedEngine:
             pallas_beam = env == "1"
         else:
             pallas_beam = jax.default_backend() == "tpu"
+        max_tokens = min(n_initial + sample_len, n_ctx)
+        last_window = next(w for w in (128, 256, n_ctx) if max_tokens <= w)
         cfg = FusedConfig(
             n_group=n_group,
             n_audio=n_audio,
@@ -629,6 +641,7 @@ class FusedEngine:
             pallas_beam=pallas_beam and beam_search and n_audio == 1,
             pallas_greedy=pallas_beam and not beam_search,
             pallas_interpret=jax.default_backend() != "tpu",
+            last_window=last_window,
         )
         fn = self._get(cfg)
 
