@@ -110,3 +110,28 @@ def test_initial_prompt_carries(tpu_model, jfk_audio):
         carry_initial_prompt=True,
     )
     assert "text" in res
+
+
+def test_cli_parallel(tpu_model, synth_checkpoint, tmp_path, monkeypatch, capsys):
+    """whisper-tpu --parallel writes one output set per input file."""
+    import shutil
+    import sys
+
+    from whisper_tpu.cli import cli
+
+    wav_a = str(tmp_path / "a.flac")
+    wav_b = str(tmp_path / "b.flac")
+    shutil.copy("/root/reference/tests/jfk.flac", wav_a)
+    shutil.copy("/root/reference/tests/jfk.flac", wav_b)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["whisper-tpu", wav_a, wav_b, "--parallel", "True",
+         "--model", synth_checkpoint, "--language", "en",
+         "--temperature", "0", "--temperature_increment_on_fallback", "None",
+         "--output_dir", str(tmp_path / "out"), "--output_format", "txt",
+         "--verbose", "False"],
+    )  # fmt: skip
+    cli()
+    out_a = (tmp_path / "out" / "a.txt").read_text()
+    out_b = (tmp_path / "out" / "b.txt").read_text()
+    assert out_a == out_b  # identical audio -> identical transcript

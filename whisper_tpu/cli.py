@@ -65,6 +65,7 @@ def cli():
     parser.add_argument("--max_line_count", type=optional_int, default=None, help="(requires --word_timestamps) max lines per subtitle segment")
     parser.add_argument("--max_words_per_line", type=optional_int, default=None, help="(requires --word_timestamps, no effect with --max_line_width) max words per subtitle segment")
     parser.add_argument("--clip_timestamps", type=str, default="0", help="comma-separated start,end,... timestamps (seconds) of clips to process")
+    parser.add_argument("--parallel", type=str2bool, default=False, help="transcribe all input files concurrently in one fused batch (the reference processes files sequentially); incompatible with --clip_timestamps / hallucination options")
     parser.add_argument("--hallucination_silence_threshold", type=optional_float, help="(requires --word_timestamps) skip silences longer than this (seconds) on suspected hallucinations")
     # fmt: on
     args = parser.parse_args().__dict__
@@ -112,7 +113,45 @@ def cli():
 
     from . import profiling
 
-    for audio_path in args.pop("audio"):
+    parallel = args.pop("parallel")
+    audio_paths = args.pop("audio")
+    if parallel and len(audio_paths) > 1:
+        from .batch import transcribe_batch
+
+        if args.get("clip_timestamps", "0") not in ("0", ""):
+            parser.error("--parallel does not support --clip_timestamps")
+        batch_args = {
+            k: v
+            for k, v in args.items()
+            if k
+            in (
+                "language",
+                "task",
+                "compression_ratio_threshold",
+                "logprob_threshold",
+                "no_speech_threshold",
+                "condition_on_previous_text",
+                "word_timestamps",
+                "prepend_punctuations",
+                "append_punctuations",
+                "beam_size",
+                "patience",
+                "best_of",
+                "length_penalty",
+                "suppress_tokens",
+                "initial_prompt",
+            )
+            and v is not None
+        }
+        start = timer()
+        results = transcribe_batch(model, audio_paths, temperature=temperature, **batch_args)
+        print(f"transcribe_batch() of {len(audio_paths)} files took {timer() - start: .3f}s")
+        profiling.print_report()
+        for audio_path, result in zip(audio_paths, results):
+            writer(result, audio_path, **writer_args)
+        return
+
+    for audio_path in audio_paths:
         try:
             start = timer()
             result = model.transcribe(audio_path, temperature=temperature, **args)
