@@ -74,6 +74,10 @@ class FusedState(NamedTuple):
     finished_lengths: jnp.ndarray  # (A, max_cand) i32
     finished_count: jnp.ndarray  # (A,) i32
     rng: jnp.ndarray  # PRNG key (greedy sampling)
+    # (B, n_cache) i32 — lazy beam reorder: row_map[b, p] is the physical
+    # cache row holding logical beam b's K/V at position p (beam search only;
+    # None for greedy). Cache rows never move; attention gathers through it.
+    row_map: Optional[jnp.ndarray] = None
 
 
 def _apply_filters(
@@ -376,6 +380,11 @@ def fused_decode(
         finished_lengths=jnp.zeros((A, max_cand), jnp.int32),
         finished_count=jnp.zeros((A,), jnp.int32),
         rng=jax.random.PRNGKey(rng_seed),
+        row_map=(
+            jnp.tile(jnp.arange(B, dtype=jnp.int32)[:, None], (1, n_cache))
+            if cfg.beam_search
+            else None
+        ),
     )
 
     use_pallas = (cfg.beam_search and cfg.pallas_beam) or (
@@ -509,23 +518,45 @@ def fused_decode(
         return (~st.completed) & (st.step < sample_len) & (st.n_tokens < n_ctx)
 
     def make_body(window):
+        W = n_cache if window is None else window
+
         def body(st: FusedState):
-            step_toks = st.tokens[jnp.arange(B), st.n_tokens - 1]
+            pos = st.n_tokens - 1
+            step_toks = st.tokens[jnp.arange(B), pos]
+            row_map = st.row_map
+            if cfg.beam_search:
+                # the slot decode_step writes this step belongs to the
+                # CURRENT logical beams: physical row == logical row
+                row_map = jax.lax.dynamic_update_slice(
+                    row_map, jnp.arange(B, dtype=jnp.int32)[:, None], (0, pos)
+                )
             logits, cache = graphs.decode_step(
                 dec_params,
                 step_toks,
-                st.n_tokens - 1,
+                pos,
                 st.cache,
                 st.src,
                 ck,
                 cv,
                 n_head=n_head,
-                # greedy never permutes beams: skip the cache gather copy
-                reorder=cfg.beam_search,
+                reorder=False,  # beam reorder is lazy via row_map
                 window=window,
+                row_map=(
+                    jax.lax.slice(row_map, (0, 0), (B, W))
+                    if cfg.beam_search
+                    else None
+                ),
             )
-            st = st._replace(cache=cache, src=jnp.arange(B, dtype=jnp.int32))
+            st = st._replace(
+                cache=cache, src=jnp.arange(B, dtype=jnp.int32), row_map=row_map
+            )
             st = apply_update(logits, st)
+            if cfg.beam_search:
+                # fold this step's beam selection into the row map (tiny)
+                st = st._replace(
+                    row_map=jnp.take(st.row_map, st.src, axis=0),
+                    src=jnp.arange(B, dtype=jnp.int32),
+                )
             return st._replace(step=st.step + 1)
 
         return body

@@ -292,7 +292,18 @@ def hidden_to_logits(dec, hidden):
 
 
 def decode_step(
-    dec, tokens, pos, cache, src, ck, cv, *, n_head, reorder=True, window=None
+    dec,
+    tokens,
+    pos,
+    cache,
+    src,
+    ck,
+    cv,
+    *,
+    n_head,
+    reorder=True,
+    window=None,
+    row_map=None,
 ):
     """One autoregressive decoder step for all beams.
 
@@ -331,7 +342,13 @@ def decode_step(
             cache, (0, 0, 0, 0, 0), (L, 2, beam, W, d)
         )  # static prefix slab
 
-    if reorder:  # static: greedy decoding never permutes, skip the cache copy
+    # row_map (B, W): lazy beam reorder — cache rows never move; each logical
+    # beam's history is gathered at the attention read via per-position row
+    # indices maintained by the fused engine. Avoids materializing a permuted
+    # cache every step (the gather + carry-update chain measured ~7.6 ms/step
+    # at large-v3 batch 40; the read-time gather probe was 38% cheaper).
+    if row_map is None and reorder:
+        # eager reorder (host loop / compatibility): greedy never permutes
         cache = jnp.take(cache, src, axis=2)
 
     x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
@@ -357,8 +374,12 @@ def decode_step(
         v = (h @ blk["attn_v_w"] + blk["attn_v_b"])[:, 0]
 
         qh = _split_heads(q * (dh**-0.5), n_head)  # (beam, H, dh)
-        kh = _split_heads(cache_l[0], n_head)  # (beam, C, H, dh)
-        vh = _split_heads(cache_l[1], n_head)
+        k_cache, v_cache = cache_l[0], cache_l[1]  # (beam, W, d)
+        if row_map is not None:
+            k_cache = jnp.take_along_axis(k_cache, row_map[:, :, None], axis=0)
+            v_cache = jnp.take_along_axis(v_cache, row_map[:, :, None], axis=0)
+        kh = _split_heads(k_cache, n_head)  # (beam, W, H, dh)
+        vh = _split_heads(v_cache, n_head)
         kh_new = _split_heads(k, n_head)  # (beam, H, dh)
         vh_new = _split_heads(v, n_head)
         scores = (
@@ -398,7 +419,10 @@ def decode_step(
         block, x, (blocks, cache, ck, cv), unroll=True if L <= 8 else 1
     )
     new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
-    if W != C and reorder:
+    if row_map is not None:
+        # lazy reorder: rows never move — only the new slot lands in the cache
+        cache = jax.lax.dynamic_update_slice(full_cache, new_kv, (0, 0, 0, pos, 0))
+    elif W != C and reorder:
         # write the reordered slab (with the new slot) back into the full cache
         cache = jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
         cache = jax.lax.dynamic_update_slice(full_cache, cache, (0, 0, 0, 0, 0))
