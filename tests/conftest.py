@@ -17,12 +17,33 @@ import pytest  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(__file__))
 
-JFK = "/root/reference/tests/jfk.flac"
+# vendored 11 s public-domain fixture (same clip the reference tests use)
+JFK = os.path.join(os.path.dirname(__file__), "data", "jfk.flac")
+
+# oracle-parity tests run the reference implementation live; they skip
+# cleanly when it isn't checked out (e.g. on a CI runner).
+# WHISPER_TPU_TESTS_NO_REFERENCE=1 simulates its absence for testing that.
+REFERENCE_PATH = "/root/reference"
+HAS_REFERENCE = os.path.isdir(REFERENCE_PATH) and not os.environ.get(
+    "WHISPER_TPU_TESTS_NO_REFERENCE"
+)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "requires_weights: needs a real checkpoint")
+    config.addinivalue_line(
+        "markers", "requires_reference: needs the reference repo checked out"
+    )
     config.addinivalue_line("markers", "slow: long-running test")
+
+
+def pytest_collection_modifyitems(config, items):
+    if HAS_REFERENCE:
+        return
+    skip = pytest.mark.skip(reason=f"{REFERENCE_PATH} not available")
+    for item in items:
+        if "requires_reference" in item.keywords:
+            item.add_marker(skip)
 
 
 @pytest.fixture
@@ -59,6 +80,8 @@ def synth_checkpoint(tiny_dims, tmp_path_factory):
 
 @pytest.fixture(scope="session")
 def reference_model(synth_checkpoint):
+    if not HAS_REFERENCE:
+        pytest.skip(f"{REFERENCE_PATH} not available")
     from oracle import load_reference_model
 
     return load_reference_model(synth_checkpoint)

@@ -23,7 +23,7 @@ def main():
     dims = ModelDimensions(80, 1500, 128, 2, 2, 51865, 448, 128, 2, 2)
     ckpt = save_reference_checkpoint("/tmp/golden_ckpt.pt", dims, seed=11, scale=0.5)
     model = whisper_tpu.load_model(ckpt, compute_dtype="float32")
-    audio = whisper_tpu.load_audio("/root/reference/tests/jfk.flac")
+    audio = whisper_tpu.load_audio(os.path.join(os.path.dirname(__file__), "data", "jfk.flac"))
     res = model.transcribe(audio, language="en", temperature=0.0, verbose=None)
     golden = {
         "checkpoint": {"dims": dims.__dict__, "seed": 11, "scale": 0.5},

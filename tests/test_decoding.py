@@ -112,6 +112,7 @@ def test_sot_prev_prompt_structure(tpu_model):
     assert task.initial_tokens[4:] == tok.sot_sequence
 
 
+@pytest.mark.requires_reference
 def test_english_only_model_parity(tmp_path_factory):
     """gpt2-tokenizer (.en) models decode identically to the reference."""
     import torch

@@ -14,7 +14,7 @@ import pytest
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 BINARY = os.path.join(REPO, "whisper_tpu", "runtime", "wtpu_transcribe")
-JFK = "/root/reference/tests/jfk.flac"
+JFK = os.path.join(os.path.dirname(__file__), "data", "jfk.flac")
 
 
 @pytest.fixture(scope="module")

@@ -106,6 +106,7 @@ def test_basic_normalizer():
     assert std_d("Élève œuvre") == "eleve oeuvre"
 
 
+@pytest.mark.requires_reference
 def test_fuzz_against_reference():
     """Random word-salad inputs must normalize identically to the reference
     implementation."""

@@ -54,6 +54,7 @@ def test_dtw_jax_matches_np(N, M):
     assert np.array_equal(pn, pj)
 
 
+@pytest.mark.requires_reference
 def test_dtw_matches_reference_numba_semantics():
     """Bit-identical decision rule vs the reference dtw_cpu run as plain
     Python (numba stubbed)."""

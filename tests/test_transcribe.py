@@ -9,6 +9,7 @@ import numpy as np
 import pytest
 import torch
 
+from conftest import JFK
 from whisper_tpu.utils import get_writer
 
 
@@ -89,6 +90,50 @@ def test_writers(transcripts, tmp_path):
     assert (tmp_path / "all" / "jfk.vtt").exists()
 
 
+def test_device_mel_transcribe_matches_host(tpu_model, jfk_audio, monkeypatch):
+    """transcribe() with the on-device mel (jitted DFT-matmul STFT + device
+    window slicing) produces the same transcript as the host numpy mel."""
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "0")
+    res_host = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None
+    )
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "1")
+    res_dev = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None
+    )
+    assert res_dev["text"] == res_host["text"]
+    assert len(res_dev["segments"]) == len(res_host["segments"])
+    for a, b in zip(res_dev["segments"], res_host["segments"]):
+        assert a["tokens"] == b["tokens"]
+        assert a["start"] == b["start"] and a["end"] == b["end"]
+
+
+def test_device_mel_full_matches_host_mel(jfk_audio):
+    """device_mel_full == host log_mel_spectrogram(padding=N_SAMPLES) on the
+    true-content frames, and content_frames matches."""
+    from whisper_tpu.audio import N_FRAMES, N_SAMPLES
+    from whisper_tpu.ops.stft import device_mel_full, device_mel_window
+
+    host = np.asarray(
+        __import__("whisper_tpu").log_mel_spectrogram(jfk_audio, 80, padding=N_SAMPLES)
+    )
+    dev, content_frames = device_mel_full(jfk_audio, 80)
+    assert content_frames == host.shape[-1] - N_FRAMES
+    dev_np = np.asarray(dev)
+    assert dev_np.shape[-1] >= host.shape[-1]
+    assert np.abs(dev_np[:, : host.shape[-1]] - host).max() < 5e-5
+
+    # window slicing: tail window zero-masked exactly like host pad_or_trim
+    seek, seg = content_frames - 100, 100
+    win = np.asarray(device_mel_window(dev, seek, seg))
+    from whisper_tpu.audio import pad_or_trim
+
+    host_win = pad_or_trim(host[:, seek : seek + seg], N_FRAMES).astype(np.float32)
+    assert win.shape == host_win.shape
+    assert np.abs(win - host_win).max() < 5e-5
+    assert np.all(win[:, seg:] == 0.0)
+
+
 def test_clip_timestamps(tpu_model, jfk_audio):
     res = tpu_model.transcribe(
         jfk_audio,
@@ -121,8 +166,8 @@ def test_cli_parallel(tpu_model, synth_checkpoint, tmp_path, monkeypatch, capsys
 
     wav_a = str(tmp_path / "a.flac")
     wav_b = str(tmp_path / "b.flac")
-    shutil.copy("/root/reference/tests/jfk.flac", wav_a)
-    shutil.copy("/root/reference/tests/jfk.flac", wav_b)
+    shutil.copy(JFK, wav_a)
+    shutil.copy(JFK, wav_b)
     monkeypatch.setattr(
         sys, "argv",
         ["whisper-tpu", wav_a, wav_b, "--parallel", "True",

@@ -7,9 +7,13 @@ CLI tool with a self-contained Levenshtein WER (no jiwer dependency):
 
   python tools/eval_wer.py --ref ref.txt --hyp hyp.txt [--language en]
   python tools/eval_wer.py --ref-dir refs/ --audio-dir wavs/ --model tiny.en
+  python tools/eval_wer.py --librispeech ~/data/LibriSpeech/test-clean --model turbo
 
 In the second form each refs/<name>.txt is compared against the
-transcription of <audio-dir>/<name>.*.
+transcription of <audio-dir>/<name>.*. The third form walks the official
+LibriSpeech layout (<spk>/<chap>/<spk>-<chap>-<utt>.flac with
+<spk>-<chap>.trans.txt reference lines) — see data/README.md for the full
+dataset recipe.
 """
 
 import argparse
@@ -43,6 +47,12 @@ def main():
     ap.add_argument("--hyp", help="hypothesis transcript file")
     ap.add_argument("--ref-dir", help="directory of <name>.txt references")
     ap.add_argument("--audio-dir", help="directory of audio files to transcribe")
+    ap.add_argument(
+        "--librispeech",
+        help="LibriSpeech split root (e.g. .../LibriSpeech/test-clean); "
+        "uses the official *.trans.txt references",
+    )
+    ap.add_argument("--limit", type=int, help="evaluate at most N utterances")
     ap.add_argument("--model", default="tiny.en")
     ap.add_argument("--language", default="en")
     args = ap.parse_args()
@@ -56,6 +66,35 @@ def main():
     pairs = []
     if args.ref and args.hyp:
         pairs.append((open(args.ref).read(), open(args.hyp).read()))
+    elif args.librispeech:
+        import whisper_tpu
+
+        # collect (flac, reference) pairs from the official layout
+        items = []
+        for dirpath, _, files in sorted(os.walk(args.librispeech)):
+            refs = {}
+            for f in files:
+                if f.endswith(".trans.txt"):
+                    for line in open(os.path.join(dirpath, f)):
+                        utt, _, text = line.strip().partition(" ")
+                        refs[utt] = text
+            for f in sorted(files):
+                if f.endswith(".flac"):
+                    utt = f[: -len(".flac")]
+                    if utt in refs:
+                        items.append((os.path.join(dirpath, f), refs[utt]))
+        if args.limit:
+            items = items[: args.limit]
+        if not items:
+            ap.error(f"no LibriSpeech utterances found under {args.librispeech}")
+        print(f"evaluating {len(items)} utterances with {args.model}", file=sys.stderr)
+
+        model = whisper_tpu.load_model(args.model)
+        for i, (audio, ref) in enumerate(items):
+            result = model.transcribe(audio, language=args.language, verbose=None)
+            pairs.append((ref, result["text"]))
+            if (i + 1) % 50 == 0:
+                print(f"  {i + 1}/{len(items)}", file=sys.stderr)
     elif args.ref_dir and args.audio_dir:
         import whisper_tpu
 

@@ -35,6 +35,13 @@ if TYPE_CHECKING:
     from .models.whisper import Whisper
 
 
+def _as_array(x):
+    """Coerce lists/torch tensors to numpy but leave numpy AND jax device
+    arrays untouched — a device-resident mel window must not round-trip
+    through the host just for an ndim/shape check."""
+    return x if hasattr(x, "ndim") and hasattr(x, "shape") else np.asarray(x)
+
+
 def _log_softmax(x: np.ndarray, axis: int = -1) -> np.ndarray:
     x = x.astype(np.float32)
     m = x.max(axis=axis, keepdims=True)
@@ -59,7 +66,7 @@ def detect_language(
             "This model doesn't have language tokens so it can't perform lang id"
         )
 
-    mel = np.asarray(mel)
+    mel = _as_array(mel)  # device arrays stay on device (no host round trip)
     single = mel.ndim == 2
     if single:
         mel = mel[None]
@@ -597,7 +604,7 @@ class DecodingTask:
         return tuple(sorted(set(suppress_tokens)))
 
     def _get_audio_features(self, mel):
-        mel = np.asarray(mel)
+        mel = _as_array(mel)
         if mel.shape[-2:] == (
             self.model.dims.n_audio_ctx,
             self.model.dims.n_audio_state,
@@ -751,7 +758,7 @@ class DecodingTask:
     def run(self, mel) -> List[DecodingResult]:
         self.decoder.reset()
         tokenizer = self.tokenizer
-        mel = np.asarray(mel)
+        mel = _as_array(mel)
         n_audio = mel.shape[0]
 
         audio_features = self._get_audio_features(mel)
@@ -774,7 +781,10 @@ class DecodingTask:
 
         tokens, sum_logprobs, no_speech_probs = self._main_loop(audio_features, tokens)
 
-        audio_features = np.asarray(audio_features)  # (n_audio, ...)
+        # audio_features stays a device array: DecodingResult.audio_features
+        # is only re-consumed on device (word-timestamp cross-KV replay), so
+        # materializing it would cost a ~8 MB device->host->device round trip
+        # per window on the remote-PJRT path
         no_speech_probs = no_speech_probs[:: self.n_group]
         assert audio_features.shape[0] == len(no_speech_probs) == n_audio
 
@@ -833,7 +843,7 @@ def decode(
     **kwargs,
 ) -> Union[DecodingResult, List[DecodingResult]]:
     """Decode 30-second mel window(s): mel (n_mels, 3000) or (B, n_mels, 3000)."""
-    mel = np.asarray(mel)
+    mel = _as_array(mel)
     if single := mel.ndim == 2:
         mel = mel[None]
 

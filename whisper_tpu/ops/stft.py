@@ -97,3 +97,70 @@ def log_mel_spectrogram_jax(audio, n_mels: int = 80):
     log_spec = jnp.maximum(log_spec, global_max - 8.0)
     out = (log_spec + 4.0) / 4.0
     return out[0] if single else out
+
+
+# ---- device-resident full-file mel for the orchestrator ---------------------
+#
+# transcribe() historically computed the whole-file mel on the host and
+# shipped a (n_mels, 3000) float32 window to the device per decode — ~1.5 MB
+# per window, a full tunnel round trip each under remote PJRT. The device
+# path computes the mel once on the TPU (MXU DFT matmul) and slices windows
+# with a tiny jitted dynamic_slice, so window features never touch the host.
+#
+# Audio is zero-padded up to a 30 s multiple so the mel jit compiles once per
+# length BUCKET (ceil(len/30 s)), not once per file length; extra zero
+# samples cannot change the global max used for dynamic-range compression
+# (digital silence maps to the log floor) and all real frames are identical.
+
+_CHUNK_SAMPLES = 30 * 16000
+
+
+def device_mel_full(audio, n_mels: int):
+    """audio: float32 (n,) host waveform -> (device mel (n_mels, F),
+    content_frames). The mel includes the standard 30 s of zero padding on
+    top of the bucket padding; content_frames is derived from the TRUE
+    length (== host log_mel_spectrogram(audio, padding=N_SAMPLES) semantics)."""
+    import jax
+
+    audio = np.asarray(audio, dtype=np.float32)
+    n = audio.shape[-1]
+    total = n + _CHUNK_SAMPLES
+    bucket = -(-total // _CHUNK_SAMPLES) * _CHUNK_SAMPLES
+    padded = np.zeros(bucket, dtype=np.float32)
+    padded[:n] = audio
+    mel = _mel_jit(n_mels)(padded)
+    return mel, n // HOP_LENGTH
+
+
+_MEL_JITS = {}
+
+
+def _mel_jit(n_mels: int):
+    if n_mels not in _MEL_JITS:
+        import jax
+
+        _MEL_JITS[n_mels] = jax.jit(lambda a: log_mel_spectrogram_jax(a, n_mels))
+    return _MEL_JITS[n_mels]
+
+
+_WINDOW_JIT = None
+
+
+def device_mel_window(mel, seek: int, segment_size: int):
+    """Slice a (n_mels, N_FRAMES) window at frame `seek` on device, zeroing
+    frames >= segment_size (the host path's explicit zero pad_or_trim of the
+    tail window, reference transcribe.py:287-297)."""
+    global _WINDOW_JIT
+    if _WINDOW_JIT is None:
+        import jax
+        import jax.numpy as jnp
+
+        def _win(mel, seek, segment_size, n_frames=_CHUNK_SAMPLES // HOP_LENGTH):
+            win = jax.lax.dynamic_slice(mel, (0, seek), (mel.shape[0], n_frames))
+            mask = jnp.arange(n_frames)[None, :] < segment_size
+            return jnp.where(mask, win, 0.0)
+
+        _WINDOW_JIT = jax.jit(_win)
+    import jax.numpy as jnp
+
+    return _WINDOW_JIT(mel, jnp.int32(seek), jnp.int32(segment_size))

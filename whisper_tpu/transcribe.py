@@ -40,6 +40,20 @@ if TYPE_CHECKING:
 _PUNCTUATION = "\"'“¿([{-\"'.。,，!！?？:：”)]}、"
 
 
+def _use_device_mel() -> bool:
+    """Device mel on TPU by default; WHISPER_TPU_DEVICE_MEL=0/1 overrides.
+    CPU keeps the host numpy mel (it's faster there and bit-stable vs the
+    fp32 oracle parity tests)."""
+    import os
+
+    env = os.environ.get("WHISPER_TPU_DEVICE_MEL", "")
+    if env in ("0", "1"):
+        return env == "1"
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _word_anomaly_score(word: dict) -> float:
     """Anomalous words are very long, very short, or improbable."""
     probability = word.get("probability", 0.0)
@@ -159,9 +173,34 @@ def transcribe(
     "text", "segments" (each with timing + quality metrics, and "words" when
     word_timestamps=True), and "language"."""
 
-    # one mel for the whole file, padded with 30 s of silence for slicing
-    mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-    content_frames = mel.shape[-1] - N_FRAMES
+    # one mel for the whole file, padded with 30 s of silence for slicing.
+    # On TPU the mel lives on device (MXU DFT matmul) and windows are sliced
+    # by a jitted dynamic_slice, so per-window features never cross the host
+    # boundary; elsewhere (or with WHISPER_TPU_DEVICE_MEL=0) the host numpy
+    # mel is used. Both share one semantics contract (tests/test_audio.py).
+    if isinstance(audio, str):
+        from .audio import load_audio
+
+        audio = load_audio(audio)
+    audio = np.asarray(audio, dtype=np.float32)
+
+    if _use_device_mel():
+        from .ops.stft import device_mel_full, device_mel_window
+
+        mel, content_frames = device_mel_full(audio, model.dims.n_mels)
+
+        def mel_window(seek: int, segment_size: int):
+            return device_mel_window(mel, seek, segment_size)
+
+    else:
+        mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+        content_frames = mel.shape[-1] - N_FRAMES
+
+        def mel_window(seek: int, segment_size: int):
+            return pad_or_trim(mel[:, seek : seek + segment_size], N_FRAMES).astype(
+                np.float32
+            )
+
     content_duration = float(content_frames * HOP_LENGTH / SAMPLE_RATE)
 
     if decode_options.get("language", None) is None:
@@ -173,7 +212,7 @@ def transcribe(
                     "Detecting language using up to the first 30 seconds. "
                     "Use `--language` to specify the language"
                 )
-            mel_segment = pad_or_trim(mel, N_FRAMES)
+            mel_segment = mel_window(0, N_FRAMES)
             _, probs = model.detect_language(mel_segment)
             decode_options["language"] = max(probs, key=probs.get)
             if verbose is not None:
@@ -292,9 +331,8 @@ def transcribe(
             time_offset = float(seek * HOP_LENGTH / SAMPLE_RATE)
             window_end_time = float((seek + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE)
             segment_size = min(N_FRAMES, content_frames - seek, seek_clip_end - seek)
-            mel_segment = mel[:, seek : seek + segment_size]
             segment_duration = segment_size * HOP_LENGTH / SAMPLE_RATE
-            mel_segment = pad_or_trim(mel_segment, N_FRAMES).astype(np.float32)
+            mel_segment = mel_window(seek, segment_size)
 
             # padding a sub-second tail out to 30 s causes hallucinations;
             # discard it (reference transcribe.py:292-297)
