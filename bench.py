@@ -52,6 +52,10 @@ import jax
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# keep configure_jax_cache() (called at model construction) pointed at the
+# same directory — it would otherwise fall back to ~/.cache when .jax_cache
+# doesn't exist yet
+os.environ.setdefault("WHISPER_TPU_CACHE_DIR", CACHE_DIR)
 
 import jax.numpy as jnp  # noqa: E402
 
@@ -100,10 +104,21 @@ def main():
     suppress_ids = [tok.eot]  # fixed-length workload: never finish early
     blank_ids = tok.encode(" ") + [tok.eot]
 
-    # on-device mel: the STFT runs as a real-DFT matmul on the MXU and the
-    # result feeds the encoder without ever leaving HBM (the reference's
-    # torch.stft mel is host-side; ours was 62 ms/clip of numpy before)
-    mel_fn = jax.jit(lambda a: log_mel_spectrogram_jax(a, dims.n_mels))
+    # ONE device program for the whole front end: on-device mel (strided-conv
+    # real-DFT STFT on the MXU) -> window stacking -> batched encoder ->
+    # cross-KV. Nothing leaves HBM, and — as important on a remote-PJRT
+    # backend — the clip costs ONE execute RPC instead of ~6 (the per-RPC
+    # tunnel overhead was ~150 ms of a 290 ms clip).
+    from whisper_tpu.models import graphs
+
+    @jax.jit
+    def frontend(enc_params, dec_params, audio):
+        mel = log_mel_spectrogram_jax(audio, dims.n_mels)
+        windows = mel[:, : n_windows * 3000].reshape(dims.n_mels, n_windows, 3000)
+        windows = jnp.transpose(windows, (1, 0, 2))
+        xa = graphs.encode(enc_params, windows, n_head=dims.n_audio_head)
+        return graphs.cross_kv(dec_params, xa, n_head=dims.n_text_head)
+
     audio_padded = np.pad(audio, (0, 480000))
 
     initial_batch = np.tile(
@@ -111,16 +126,10 @@ def main():
     )
 
     def run_clip(trace=lambda m: None):
-        mel = mel_fn(jnp.asarray(audio_padded))
-        trace("mel dispatched")
-        # all windows ride one batched graph set: encoder at B=n_windows,
-        # fused beam decode at n_audio=n_windows (flat batch n_windows*BEAM)
-        windows = jnp.stack(
-            [mel[:, w * 3000 : (w + 1) * 3000] for w in range(n_windows)]
+        ck, cv = frontend(
+            model.params["encoder"], model.params["decoder"], jnp.asarray(audio_padded)
         )
-        xa = model.encode(windows)
-        trace("encode dispatched")
-        ck, cv = model.cross_kv(xa)
+        trace("frontend dispatched")
         out = engine.run(
             initial_batch,
             ck,

@@ -599,6 +599,20 @@ class FusedEngine:
     def __init__(self, model):
         self.model = model
         self._jitted = {}
+        # device-resident suppress/blank masks keyed by the id tuples: the
+        # masks are identical for every window of a transcription, and each
+        # host->device put is a round trip on remote-PJRT backends
+        self._mask_cache = {}
+        # same for the small scalar arguments (sot_index, sample_len, ...):
+        # they repeat across windows, and six tiny puts per window were
+        # measurable tunnel overhead
+        self._scalar_cache = {}
+
+    def _scalar(self, dtype, value):
+        key = (dtype, value)
+        if key not in self._scalar_cache:
+            self._scalar_cache[key] = jnp.asarray(value, dtype=dtype)
+        return self._scalar_cache[key]
 
     def _get(self, cfg: FusedConfig):
         key = cfg
@@ -648,15 +662,13 @@ class FusedEngine:
 
         # The single-pass fused-update Pallas kernel (tiled region sweeps:
         # running top-K + streaming logsumexp in ~2 vocab passes instead of
-        # ~40) matches the jnp path bit-for-bit and measured 3.46 ms/token vs
-        # 4.5 for fused beam-5 turbo. Default ON on TPU (interpret mode on CPU
-        # is too slow for tests); WHISPER_TPU_PALLAS_BEAM=0/1 overrides.
-        # The kernel is single-audio.
+        # ~40) matches the jnp path bit-for-bit, but once the rest of the
+        # loop shrank it measured 7.7% SLOWER end-to-end than the XLA-fused
+        # jnp update (102.9 vs 110.8 ms / 96 turbo beam-5 steps, transfer-
+        # synced on v5e) — the update was never the bottleneck. Default OFF;
+        # WHISPER_TPU_PALLAS_BEAM=1 opts in. The kernel is single-audio.
         env = os.environ.get("WHISPER_TPU_PALLAS_BEAM", "")
-        if env in ("0", "1"):
-            pallas_beam = env == "1"
-        else:
-            pallas_beam = jax.default_backend() == "tpu"
+        pallas_beam = env == "1"
         max_tokens = min(n_initial + sample_len, n_ctx)
         last_window = next(w for w in (128, 256, n_ctx) if max_tokens <= w)
         cfg = FusedConfig(
@@ -678,10 +690,17 @@ class FusedEngine:
 
         toks = np.zeros((n_audio, n_ctx), dtype=np.int32)
         toks[:, :n_initial] = initial_tokens
-        suppress_mask = np.zeros(V, dtype=bool)
-        suppress_mask[list(suppress_ids)] = True
-        blank_mask = np.zeros(V, dtype=bool)
-        blank_mask[list(blank_ids)] = True
+        mask_key = (tuple(suppress_ids), tuple(blank_ids), V)
+        if mask_key not in self._mask_cache:
+            suppress_mask = np.zeros(V, dtype=bool)
+            suppress_mask[list(suppress_ids)] = True
+            blank_mask = np.zeros(V, dtype=bool)
+            blank_mask[list(blank_ids)] = True
+            self._mask_cache[mask_key] = (
+                jnp.asarray(suppress_mask),
+                jnp.asarray(blank_mask),
+            )
+        suppress_mask, blank_mask = self._mask_cache[mask_key]
 
         from . import profiling
 
@@ -689,18 +708,19 @@ class FusedEngine:
             out = fn(
                 self.model.params["decoder"],
                 jnp.asarray(toks),
-                jnp.int32(n_initial),
+                self._scalar("int32", n_initial),
                 ck,
                 cv,
-                jnp.int32(sot_index),
-                jnp.asarray(suppress_mask),
-                jnp.asarray(blank_mask),
-                jnp.int32(
-                    max_initial_ts_index if max_initial_ts_index is not None else n_ctx
+                self._scalar("int32", sot_index),
+                suppress_mask,
+                blank_mask,
+                self._scalar(
+                    "int32",
+                    max_initial_ts_index if max_initial_ts_index is not None else n_ctx,
                 ),
-                jnp.int32(sample_len),
-                jnp.float32(temperature),
-                jnp.int32(rng_seed),
+                self._scalar("int32", sample_len),
+                self._scalar("float32", float(temperature)),
+                self._scalar("int32", rng_seed),
             )
             # device_get pre-issues copy_to_host_async for every leaf before
             # blocking: ONE pipelined round trip instead of a serial RTT per
