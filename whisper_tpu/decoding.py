@@ -158,8 +158,11 @@ class Inference:
         self.cv = None
         self.pending_src: Optional[np.ndarray] = None
 
-    def set_audio_features(self, audio_features):
-        self.ck, self.cv = self.model.cross_kv(audio_features)
+    def set_audio_features(self, audio_features, cross_kv=None):
+        if cross_kv is not None:  # precomputed in the fused encode+cross-KV pass
+            self.ck, self.cv = cross_kv
+        else:
+            self.ck, self.cv = self.model.cross_kv(audio_features)
 
     def logits(self, tokens: np.ndarray) -> np.ndarray:
         """tokens: (n_batch, cur_len) full sequences. Returns last-position
@@ -603,15 +606,6 @@ class DecodingTask:
 
         return tuple(sorted(set(suppress_tokens)))
 
-    def _get_audio_features(self, mel):
-        mel = _as_array(mel)
-        if mel.shape[-2:] == (
-            self.model.dims.n_audio_ctx,
-            self.model.dims.n_audio_state,
-        ):
-            return jnp.asarray(mel)  # already encoded
-        return self.model.encode(mel)
-
     def _detect_language(self, audio_features, tokens: np.ndarray):
         languages = [self.options.language] * audio_features.shape[0]
         lang_probs = None
@@ -761,7 +755,16 @@ class DecodingTask:
         mel = _as_array(mel)
         n_audio = mel.shape[0]
 
-        audio_features = self._get_audio_features(mel)
+        if mel.shape[-2:] == (
+            self.model.dims.n_audio_ctx,
+            self.model.dims.n_audio_state,
+        ):
+            audio_features, cross_kv = jnp.asarray(mel), None
+        else:
+            # one device program for encoder + cross-KV (saves a round trip
+            # per window and fuses the projections into the encoder tail)
+            audio_features, ck, cv = self.model.encode_with_cross_kv(mel)
+            cross_kv = (ck, cv)
         tokens = np.tile(np.array([self.initial_tokens], dtype=np.int64), (n_audio, 1))
 
         languages, language_probs = self._detect_language(audio_features, tokens)
@@ -775,7 +778,7 @@ class DecodingTask:
                 )
             ]
 
-        self.inference.set_audio_features(audio_features)
+        self.inference.set_audio_features(audio_features, cross_kv)
 
         tokens = np.repeat(tokens, self.n_group, axis=0)
 

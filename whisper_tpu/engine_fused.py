@@ -614,6 +614,11 @@ class FusedEngine:
             self._scalar_cache[key] = jnp.asarray(value, dtype=dtype)
         return self._scalar_cache[key]
 
+    def _jit_options(self, cfg: FusedConfig) -> dict:
+        """Extra jax.jit kwargs (e.g. in_shardings); subclass hook so the
+        sharded engine reuses the exact same cfg/bucket/kernel logic."""
+        return {}
+
     def _get(self, cfg: FusedConfig):
         key = cfg
         if key not in self._jitted:
@@ -623,7 +628,8 @@ class FusedEngine:
                     n_head=self.model.dims.n_text_head,
                     cfg=cfg,
                     cache_dtype=self.model.compute_dtype,
-                )
+                ),
+                **self._jit_options(cfg),
             )
         return self._jitted[key]
 

@@ -77,6 +77,16 @@ class Whisper:
 
         self._encode = jax.jit(partial(graphs.encode, n_head=n_audio_head))
         self._cross_kv = jax.jit(partial(graphs.cross_kv, n_head=n_text_head))
+
+        def _encode_ckv(enc, dec, mel):
+            xa = graphs.encode(enc, mel, n_head=n_audio_head)
+            ck, cv = graphs.cross_kv(dec, xa, n_head=n_text_head)
+            return xa, ck, cv
+
+        # encoder + cross-KV as ONE program: per decoded window this saves an
+        # execute round trip (remote PJRT) and lets XLA overlap the first
+        # cross-KV projections with the encoder tail
+        self._encode_ckv = jax.jit(_encode_ckv)
         self._prefill = jax.jit(partial(graphs.prefill, n_head=n_text_head))
         self._decode_step = jax.jit(
             partial(graphs.decode_step, n_head=n_text_head), donate_argnums=(3,)
@@ -98,6 +108,15 @@ class Whisper:
             ck, cv = self._cross_kv(self.params["decoder"], xa)
             cv.block_until_ready()
         return ck, cv
+
+    def encode_with_cross_kv(self, mel):
+        """mel (B, n_mels, 3000) -> (xa, cK, cV) in one device program."""
+        with profiling.timed("encoder"):
+            xa, ck, cv = self._encode_ckv(
+                self.params["encoder"], self.params["decoder"], jnp.asarray(mel)
+            )
+            cv.block_until_ready()
+        return xa, ck, cv
 
     def prefill(self, tokens, n_valid, ck, cv):
         """tokens: (B, n) int32 -> (hidden (B, 256, d), kv (L, 2, B, 256, d)).

@@ -24,7 +24,7 @@ from functools import partial
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..engine_fused import FusedConfig, FusedEngine, fused_decode
+from ..engine_fused import FusedConfig, FusedEngine
 from .sharding import param_shardings
 
 
@@ -37,41 +37,31 @@ class DataParallelEngine(FusedEngine):
         super().__init__(model)
         self.mesh = mesh
 
-    def _get(self, cfg: FusedConfig):
-        key = cfg
-        if key not in self._jitted:
-            mesh = self.mesh
-            dp = mesh.shape.get("dp", 1)
-            assert cfg.n_audio % dp == 0, (
-                f"n_audio={cfg.n_audio} not divisible by dp={dp}"
-            )
-            dec_sharding = param_shardings(self.model.params["decoder"], mesh)
-            repl = NamedSharding(mesh, P())
-            in_shardings = (
-                dec_sharding,
-                NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
-                repl,  # sample_begin
-                # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp
-                NamedSharding(mesh, P(None, "dp", "tp", None, None)),
-                NamedSharding(mesh, P(None, "dp", "tp", None, None)),
-                repl,  # sot_index
-                repl,  # suppress mask
-                repl,  # blank mask
-                repl,  # max_initial_ts_index
-                repl,  # sample_len
-                repl,  # temperature
-                repl,  # rng_seed
-            )
-            self._jitted[key] = jax.jit(
-                partial(
-                    fused_decode,
-                    n_head=self.model.dims.n_text_head,
-                    cfg=cfg,
-                    cache_dtype=self.model.compute_dtype,
-                ),
-                in_shardings=in_shardings,
-            )
-        return self._jitted[key]
+    def _jit_options(self, cfg: FusedConfig) -> dict:
+        """Sharding annotations only — cfg construction (bucket selection,
+        kernel flags) is inherited from FusedEngine so the sharded engine can
+        never silently diverge from the single-device configuration."""
+        mesh = self.mesh
+        dp = mesh.shape.get("dp", 1)
+        assert cfg.n_audio % dp == 0, f"n_audio={cfg.n_audio} not divisible by dp={dp}"
+        dec_sharding = param_shardings(self.model.params["decoder"], mesh)
+        repl = NamedSharding(mesh, P())
+        in_shardings = (
+            dec_sharding,
+            NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
+            repl,  # sample_begin
+            # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp
+            NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+            NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+            repl,  # sot_index
+            repl,  # suppress mask
+            repl,  # blank mask
+            repl,  # max_initial_ts_index
+            repl,  # sample_len
+            repl,  # temperature
+            repl,  # rng_seed
+        )
+        return {"in_shardings": in_shardings}
 
 
 def dp_encode(model, mesh: Mesh):
