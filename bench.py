@@ -51,7 +51,10 @@ import jax
 
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 jax.config.update("jax_compilation_cache_dir", CACHE_DIR)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# cache EVERY graph: the handful of small helper programs (convert_element_
+# type etc.) compile in ~0.35 s each, which is exactly the kind of repeat
+# cost a shipped cache should absorb
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 # keep configure_jax_cache() (called at model construction) pointed at the
 # same directory — it would otherwise fall back to ~/.cache when .jax_cache
 # doesn't exist yet
@@ -160,9 +163,36 @@ def main():
     T_START = time.perf_counter()
     log("model built; starting warmup (compilation)")
 
-    # warmup/compile
+    # Warmup: the two big programs (frontend, fused decode) are independent
+    # at compile time — the decode graph's input SHAPES don't depend on the
+    # frontend's outputs — so dispatch both first executions before blocking
+    # on either and their server-side compilations overlap (the axon PJRT
+    # service defers real compilation to the first execute; sum -> max).
     t0 = time.perf_counter()
-    total_tokens = run_clip(trace=log)
+    fr = frontend(
+        model.params["encoder"], model.params["decoder"], jnp.asarray(audio_padded)
+    )
+    log("frontend warmup dispatched")
+    engine.warmup(
+        initial_batch,
+        sot_index=0,
+        suppress_ids=suppress_ids,
+        blank_ids=blank_ids,
+        max_initial_ts_index=50,
+        sample_len=TOKENS_PER_WINDOW,
+        n_group=BEAM,
+        beam_search=True,
+        max_candidates=BEAM,
+        use_timestamps=True,
+        temperature=0.0,
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+    )
+    log("decode warmup done")
+    jax.device_get(jax.tree.leaves(fr)[0][0, 0, 0, :1])  # sync frontend
+    total_tokens = run_clip(trace=log)  # end-to-end warm pass (all compiled)
     warm = time.perf_counter() - t0
     log(f"warmup done in {warm:.1f}s")
 

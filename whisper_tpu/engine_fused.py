@@ -567,7 +567,10 @@ def fused_decode(
     # batched decode, where cache movement (not math) dominated the profile.
     # A loop whose entry condition is already false never runs: short
     # decodes (the common case) stay entirely in the small-window phases.
-    for window in (128, 256, n_cache):
+    # dict.fromkeys dedupes while keeping order: when n_cache is itself 128
+    # or 256 the full-window phase must be emitted ONCE, not once per alias
+    # (a duplicate while_loop never iterates but still doubles compile time)
+    for window in dict.fromkeys((128, 256, n_cache)):
         if window > n_cache:
             continue
         if window >= n_cache:
@@ -632,6 +635,29 @@ class FusedEngine:
                 **self._jit_options(cfg),
             )
         return self._jitted[key]
+
+    def warmup(self, initial_tokens, **kwargs):
+        """Compile-and-load the fused decode program for a configuration
+        before real audio arrives, by running it once on ZERO cross-KV.
+
+        The decode program's input shapes don't depend on any encoder
+        output, so a server/daemon can dispatch this concurrently with the
+        encoder's own warmup and the two compilations overlap (the CoreML
+        analog is the reference's model-load step, README.md:26-27; on
+        remote-PJRT backends compilation is deferred to first execution, so
+        plain `jax.jit` alone doesn't front-load it). Accepts exactly
+        `run`'s keyword arguments; n_audio is taken from `initial_tokens`'s
+        leading dimension.
+        """
+        dims = self.model.dims
+        initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
+        n_audio = initial_tokens.shape[0] if initial_tokens.ndim == 2 else 1
+        L, H = dims.n_text_layer, dims.n_text_head
+        dh = dims.n_text_state // H
+        zkv = jnp.zeros(
+            (L, n_audio, H, dh, dims.n_audio_ctx), self.model.compute_dtype
+        )
+        return self.run(initial_tokens, zkv, zkv, **kwargs)
 
     def run(
         self,
