@@ -410,24 +410,60 @@ def decode_step(
 
         qh = _split_heads(q * (dh**-0.5), n_head)  # (beam, H, dh)
         k_cache, v_cache = cache_l[0], cache_l[1]  # (beam, W, d)
-        if row_map is not None:
-            k_cache = jnp.take_along_axis(k_cache, row_map[:, :, None], axis=0)
-            v_cache = jnp.take_along_axis(v_cache, row_map[:, :, None], axis=0)
-        kh = _split_heads(k_cache, n_head)  # (beam, W, H, dh)
-        vh = _split_heads(v_cache, n_head)
         kh_new = _split_heads(k, n_head)  # (beam, H, dh)
         vh_new = _split_heads(v, n_head)
-        scores = (
-            jnp.einsum("bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32)
-            + kmask
-        )
-        score_new = jnp.einsum(
-            "bhd,bhd->bh", qh, kh_new, preferred_element_type=jnp.float32
-        )
-        full = jnp.concatenate([scores, score_new[:, :, None]], axis=2)
-        w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (beam, H, C+1)
-        wv = jnp.einsum("bhk,bkhd->bhd", w[:, :, :-1], vh)
-        wv = (wv + w[:, :, -1, None] * vh_new).reshape(beam, 1, d)
+        if row_map is not None:
+            # Lazy beam reorder WITHOUT a gather: score each query beam
+            # against ALL B source rows — a B-fold blowup of a tiny MXU
+            # contraction — and collapse with the one-hot row mask derived
+            # from row_map. The cache is read ONCE at full rows; the former
+            # jnp.take_along_axis materialized a permuted copy (read + write
+            # + re-read = 3x the HBM traffic) and its gather ran ~6x off
+            # bandwidth roofline (profiled at 190 us of a 1.0 ms turbo
+            # beam-5 step; TPUs hate gathers, MXUs eat einsums). The cache
+            # views keep their original (beam, W, H, dh) shapes so XLA's
+            # in-place analysis still updates the loop-carried cache with a
+            # true in-place dynamic_update_slice (an (A, G, ...) regrouped
+            # variant compiled to a whole-cache copy per step: 24 -> 318 us).
+            onehot = (
+                row_map[:, None, :]
+                == jnp.arange(beam, dtype=row_map.dtype)[None, :, None]
+            )  # (B_query, B_source, W) bool — block-diagonal per audio
+            kh = _split_heads(k_cache, n_head)  # (src, W, H, dh)
+            vh = _split_heads(v_cache, n_head)
+            s_all = jnp.einsum(
+                "bhd,cwhd->bhcw", qh, kh, preferred_element_type=jnp.float32
+            )  # (B, H, B_src, W)
+            scores = (
+                jnp.einsum("bhcw,bcw->bhw", s_all, onehot.astype(jnp.float32))
+                + kmask
+            )
+            score_new = jnp.einsum(
+                "bhd,bhd->bh", qh, kh_new, preferred_element_type=jnp.float32
+            )
+            full = jnp.concatenate([scores, score_new[:, :, None]], axis=2)
+            w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (beam, H, W+1)
+            p2 = jnp.einsum(
+                "bhw,bcw->bhcw", w[:, :, :-1], onehot.astype(dtype)
+            )
+            wv = jnp.einsum("bhcw,cwhd->bhd", p2, vh)
+            wv = (wv + w[:, :, -1, None] * vh_new).reshape(beam, 1, d)
+        else:
+            kh = _split_heads(k_cache, n_head)  # (beam, W, H, dh)
+            vh = _split_heads(v_cache, n_head)
+            scores = (
+                jnp.einsum(
+                    "bhd,bkhd->bhk", qh, kh, preferred_element_type=jnp.float32
+                )
+                + kmask
+            )
+            score_new = jnp.einsum(
+                "bhd,bhd->bh", qh, kh_new, preferred_element_type=jnp.float32
+            )
+            full = jnp.concatenate([scores, score_new[:, :, None]], axis=2)
+            w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (beam, H, C+1)
+            wv = jnp.einsum("bhk,bkhd->bhd", w[:, :, :-1], vh)
+            wv = (wv + w[:, :, -1, None] * vh_new).reshape(beam, 1, d)
         x = x + wv @ blk["attn_o_w"] + blk["attn_o_b"]
 
         # cross attention grouped by audio: ck_l/cv_l are (Bc, H, dh, T) with

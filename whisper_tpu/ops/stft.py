@@ -53,12 +53,18 @@ def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0
 def log_mel_spectrogram_jax(audio, n_mels: int = 80):
     """Jittable log-mel for a fixed-length audio array (shape must be static).
 
-    audio: (n_samples,) or (batch, n_samples) float32, n_samples % 160 == 0.
+    audio: (n_samples,) or (batch, n_samples) float32 — or int16, converted
+    on device as i/32768 (the s16 PCM decode semantic, audio.py/audioio.cpp):
+    shipping int16 over a remote-PJRT link halves the largest host->device
+    transfer of the pipeline, and for audio that came from 16-bit sources
+    the float path is bit-identical. n_samples % 160 == 0.
     Returns (..., n_mels, n_samples//160) float32.
     """
     import jax
     import jax.numpy as jnp
 
+    if audio.dtype == jnp.int16:
+        audio = audio.astype(jnp.float32) / 32768.0
     single = audio.ndim == 1
     if single:
         audio = audio[None]
@@ -126,14 +132,22 @@ def device_mel_full(audio, n_mels: int):
     content_frames). The mel includes the standard 30 s of zero padding on
     top of the bucket padding; content_frames is derived from the TRUE
     length (== host log_mel_spectrogram(audio, padding=N_SAMPLES) semantics)."""
-    import jax
-
     audio = np.asarray(audio, dtype=np.float32)
     n = audio.shape[-1]
     total = n + _CHUNK_SAMPLES
     bucket = -(-total // _CHUNK_SAMPLES) * _CHUNK_SAMPLES
-    padded = np.zeros(bucket, dtype=np.float32)
-    padded[:n] = audio
+    # 16-bit-sourced audio (the common case: s16 PCM decode, no resample)
+    # uploads as int16 — half the bytes over the tunnel, bit-identical mel
+    # (the device converts as i/32768, exactly the decoder's semantic)
+    scaled = audio * 32768.0
+    if np.all(np.abs(scaled) <= 32767) and np.array_equal(
+        scaled, np.round(scaled)
+    ):
+        padded = np.zeros(bucket, dtype=np.int16)
+        padded[:n] = scaled.astype(np.int16)
+    else:
+        padded = np.zeros(bucket, dtype=np.float32)
+        padded[:n] = audio
     mel = _mel_jit(n_mels)(padded)
     return mel, n // HOP_LENGTH
 
