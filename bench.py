@@ -69,7 +69,7 @@ from whisper_tpu.tokenizer import get_tokenizer  # noqa: E402
 
 CLIP_SECONDS = 60
 TOKENS_PER_WINDOW = 96
-BEAM = 5
+BEAM = int(os.environ.get("BENCH_BEAM", "5"))  # 1 -> greedy decode
 BASELINE_RTF = 60.0 / 7.2  # reference: 7.2 s per 60 s clip (README.md:27)
 
 
@@ -148,7 +148,7 @@ def main():
             max_initial_ts_index=50,
             sample_len=TOKENS_PER_WINDOW,
             n_group=BEAM,
-            beam_search=True,
+            beam_search=BEAM > 1,
             max_candidates=BEAM,
             use_timestamps=True,
             temperature=0.0,
@@ -186,7 +186,7 @@ def main():
         max_initial_ts_index=50,
         sample_len=TOKENS_PER_WINDOW,
         n_group=BEAM,
-        beam_search=True,
+        beam_search=BEAM > 1,
         max_candidates=BEAM,
         use_timestamps=True,
         temperature=0.0,

@@ -52,6 +52,37 @@ def test_fused_transcribe_matches_host(tpu_model, jfk_audio):
     ]
 
 
+def test_engine_warmup_matches_cold_run(tpu_model, mel):
+    """FusedEngine.warmup (zero cross-KV dispatch, used to overlap server
+    compiles with the encoder's) must leave the engine producing the exact
+    tokens a cold engine produces."""
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(tpu_model.is_multilingual, language="en", task="transcribe")
+    xa = tpu_model.encode(mel[None])
+    ck, cv = tpu_model.cross_kv(xa)
+    initial = np.array([list(tok.sot_sequence)], np.int32)
+    kw = dict(
+        sot_index=0, suppress_ids=[tok.eot], blank_ids=tok.encode(" ") + [tok.eot],
+        max_initial_ts_index=50, sample_len=12, n_group=2, beam_search=True,
+        max_candidates=2, use_timestamps=True, temperature=0.0, eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin, no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+    )  # fmt: skip
+
+    cold = FusedEngine(tpu_model).run(initial, ck, cv, **kw)
+
+    warmed_engine = FusedEngine(tpu_model)
+    warm_out = warmed_engine.warmup(initial, **kw)
+    assert int(warm_out[1]) > 0  # the dummy decode actually ran
+    warm = warmed_engine.run(initial, ck, cv, **kw)
+
+    n = int(cold[1])
+    assert int(warm[1]) == n
+    assert np.array_equal(np.asarray(warm[0])[:, :n], np.asarray(cold[0])[:, :n])
+
+
 def test_fused_sampling_terminates(tpu_model, mel):
     res = decode(
         tpu_model, mel, DecodingOptions(language="en", temperature=0.7, sample_len=20)
