@@ -70,6 +70,7 @@ from whisper_tpu.tokenizer import get_tokenizer  # noqa: E402
 CLIP_SECONDS = 60
 TOKENS_PER_WINDOW = 96
 BEAM = int(os.environ.get("BENCH_BEAM", "5"))  # 1 -> greedy decode
+WORD_TS = os.environ.get("BENCH_WORD_TS") == "1"  # add per-window DTW word alignment
 BASELINE_RTF = 60.0 / 7.2  # reference: 7.2 s per 60 s clip (README.md:27)
 
 
@@ -158,6 +159,22 @@ def main():
             no_speech=tok.no_speech,
         )
         trace("decode done")
+        if WORD_TS:
+            # BASELINE config 4 workload: word-timestamp alignment per
+            # window — teacher-forced replay through the batched
+            # prefill_with_alignment graph + median filter + DTW (host)
+            from whisper_tpu.timing import find_alignment
+
+            toks_out = np.asarray(out[0])
+            n_tok = int(out[1])
+            for wi in range(n_windows):
+                row = toks_out[wi * BEAM, len(initial_tokens) : n_tok]
+                text = [int(t) for t in row if t < tok.eot]
+                find_alignment(
+                    model, tok, text, 3000,
+                    ck[:, wi : wi + 1], cv[:, wi : wi + 1],
+                )
+            trace("word alignment done")
         # materialize: per-window decoded token counts
         return int(out[1]) * n_windows
 
@@ -210,7 +227,7 @@ def main():
     rtf = CLIP_SECONDS / p50
 
     result = {
-        "metric": f"RTFx_{model_name}_bs{BEAM}_60s_clip",
+        "metric": f"RTFx_{model_name}_bs{BEAM}{'_wts' if WORD_TS else ''}_60s_clip",
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / BASELINE_RTF, 2),

@@ -566,7 +566,8 @@ double compression_ratio(const std::string& text) {
 // retry at higher temperature; no-speech windows are skipped).
 bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
                      int max_windows, bool print_tokens, std::string* text_out,
-                     std::vector<int32_t>* tokens_out, std::string* err) {
+                     std::vector<int32_t>* tokens_out, std::string* err,
+                     bool no_fallback = false) {
   if (beam && !e.have_beam) {
     *err = "beam graph not loaded";
     return false;
@@ -618,7 +619,8 @@ bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
     WindowResult res;
     double avg_lp = 0.0;
     std::string wtext;
-    for (size_t ti = 0; ti < sizeof(kTemps) / sizeof(kTemps[0]); ti++) {
+    size_t n_temps = no_fallback ? 1 : sizeof(kTemps) / sizeof(kTemps[0]);
+    for (size_t ti = 0; ti < n_temps; ti++) {
       float t = kTemps[ti];
       res = decode_window(e, beam, kv[0], kv[1], t,
                           t > 0 ? (int32_t)(n_windows * 6 + (int)ti) : 0);
@@ -632,7 +634,7 @@ bool transcribe_file(Engine& e, const std::string& audio_path, bool beam,
       if (res.no_speech > kNoSpeechThreshold && avg_lp < kLogprobThreshold)
         needs_fallback = false;  // silence: accept and skip below
       if (!needs_fallback) break;
-      if (ti + 1 < sizeof(kTemps) / sizeof(kTemps[0]))
+      if (ti + 1 < n_temps)
         fprintf(stderr, "[wtpu] window %d: fallback to t=%.1f\n", n_windows,
                 kTemps[ti + 1]);
     }
@@ -760,6 +762,7 @@ int main(int argc, char** argv) {
   int max_windows = 1 << 30;
   bool print_tokens = false;
   bool beam = false;
+  bool no_fallback = false;
   for (int i = 1; i < argc; i++) {
     std::string a = argv[i];
     if (a == "--plugin" && i + 1 < argc) plugin = argv[++i];
@@ -767,6 +770,7 @@ int main(int argc, char** argv) {
     else if (a == "--tokens") print_tokens = true;
     else if (a == "--beam") beam = true;
     else if (a == "--serve" && i + 1 < argc) serve_path = argv[++i];
+    else if (a == "--no-fallback") no_fallback = true;  // pin t=0 (parity tests)
     else if (dir.empty()) dir = a;
     else audio_path = a;
   }
@@ -782,7 +786,7 @@ int main(int argc, char** argv) {
   engine_init(e, dir, plugin, /*greedy=*/true, /*beam=*/beam);
   std::string text, err;
   if (!transcribe_file(e, audio_path, beam, max_windows, print_tokens, &text,
-                       nullptr, &err))
+                       nullptr, &err, no_fallback))
     die(err);
   printf("%s\n", text.c_str());
   return 0;

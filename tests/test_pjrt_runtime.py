@@ -54,7 +54,11 @@ def test_native_runtime_executes(tmp_path):
     from whisper_tpu.runtime.pjrt import PjrtRunner, default_axon_options
 
     def f(a, b):
-        return jnp.dot(a, b) + 1.0
+        # 'highest' is baked into the exported StableHLO: on TPU the f32
+        # default decomposes into bf16 MXU passes (~1e-1 abs error at this
+        # scale), which is fine for the model but not for a 1e-3 exactness
+        # check against numpy
+        return jnp.dot(a, b, precision="highest") + 1.0
 
     a = np.random.RandomState(0).randn(64, 64).astype(np.float32)
     b = np.random.RandomState(1).randn(64, 64).astype(np.float32)

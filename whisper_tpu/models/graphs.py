@@ -213,7 +213,7 @@ def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
     dtype = blocks["attn_q_w"].dtype
     B, P = tokens.shape
 
-    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
 
     causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
     invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
@@ -252,7 +252,7 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
     L = blocks["attn_q_w"].shape[0]
     assert B == 1, "alignment replay runs at batch size 1"
 
-    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
 
     causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
     invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
@@ -293,7 +293,7 @@ def decoder_forward(dec, tokens, ck, cv, *, n_head):
     dtype = blocks["attn_q_w"].dtype
     B, T = tokens.shape
 
-    x = dec["tok_emb"][tokens].astype(dtype) + dec["pos_emb"][:T].astype(dtype)
+    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:T].astype(dtype)
     mask = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
 
     def block(x, inputs):
@@ -386,7 +386,7 @@ def decode_step(
         # eager reorder (host loop / compatibility): greedy never permutes
         cache = jnp.take(cache, src, axis=2)
 
-    x = dec["tok_emb"][tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
+    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
 
     # cached slots strictly before `pos` are valid; the fresh token's K/V is

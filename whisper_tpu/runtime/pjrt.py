@@ -226,8 +226,13 @@ class PjrtRunner:
 
     def execute(self, name: str, inputs: Sequence[np.ndarray]) -> List[np.ndarray]:
         exe, spec = self._executables[name]
-        inputs = [np.ascontiguousarray(a) for a in inputs]
         assert len(inputs) == len(spec["inputs"]), "input arity mismatch"
+        # np.ascontiguousarray promotes 0-d arrays (and numpy scalars) to
+        # 1-d; scalar graph inputs must keep their declared [] shape
+        inputs = [
+            np.ascontiguousarray(a).reshape(ispec["shape"])
+            for a, ispec in zip(inputs, spec["inputs"])
+        ]
 
         dims_flat: List[int] = []
         ndims, types, data_ptrs = [], [], []
