@@ -113,7 +113,16 @@ def test_jax_mel_matches_numpy(jfk_audio):
     assert np.abs(jx - ref).max() < 5e-3  # f32 rfft vs f64
 
 
-def test_jax_mel_int16_bit_identical(jfk_audio):
+def _s16_waveform(n=160 * 600, seed=3):
+    """An int16 waveform and its exact float32 decode (i/32768). Note
+    jfk.flac does NOT qualify: the native decoder resamples it, producing
+    arbitrary floats — the int16 fast path applies to unresampled 16-bit
+    sources."""
+    i16 = (np.random.RandomState(seed).randn(n) * 8000).astype(np.int16)
+    return i16, i16.astype(np.float32) / 32768.0
+
+
+def test_jax_mel_int16_bit_identical():
     """int16 upload path: device converts as i/32768, so 16-bit-sourced
     audio must produce a BIT-IDENTICAL mel to the float32 path (the win is
     halving the largest host->device transfer, not changing numerics)."""
@@ -121,30 +130,27 @@ def test_jax_mel_int16_bit_identical(jfk_audio):
 
     from whisper_tpu.ops.stft import log_mel_spectrogram_jax
 
-    n = (len(jfk_audio) // 160) * 160
-    audio = jfk_audio[:n]
-    scaled = audio * 32768.0
-    assert np.array_equal(scaled, np.round(scaled)), "fixture not s16-sourced"
-    i16 = scaled.astype(np.int16)
+    i16, audio = _s16_waveform()
     f32_mel = np.asarray(log_mel_spectrogram_jax(audio, 80))
     i16_mel = np.asarray(log_mel_spectrogram_jax(jnp.asarray(i16), 80))
     assert np.array_equal(f32_mel, i16_mel)
 
 
-def test_device_mel_full_picks_int16(jfk_audio):
-    """device_mel_full auto-detects int16-representable waveforms and the
-    result matches the float path exactly."""
+def test_device_mel_full_picks_int16():
+    """device_mel_full auto-detects int16-representable waveforms; the
+    fast path must equal the float path bit for bit on the same samples."""
     from whisper_tpu.ops import stft
 
-    mel_auto, frames = stft.device_mel_full(jfk_audio, 80)
-    # force the float32 path by making one sample non-representable
-    nudged = jfk_audio.copy()
+    _, audio = _s16_waveform()
+    mel_auto, frames = stft.device_mel_full(audio, 80)  # int16 fast path
+    # force the float32 path by making one sample non-representable; the
+    # mel is then compared on the unaffected tail frames
+    nudged = audio.copy()
     nudged[0] += 2.0**-20
     mel_f32, frames2 = stft.device_mel_full(nudged, 80)
     assert frames == frames2
     a, b = np.asarray(mel_auto), np.asarray(mel_f32)
     assert a.shape == b.shape
-    # identical except effects of the single nudged sample's first frames
     assert np.abs(a[:, 10:] - b[:, 10:]).max() < 1e-5
 
 
