@@ -93,6 +93,7 @@ class Whisper:
         )
         self._logits = jax.jit(graphs.hidden_to_logits)
         self._prefill_align_cache = {}
+        self._token_prob_cache = {}
 
     # ---- graph entry points -------------------------------------------------
 
@@ -153,6 +154,30 @@ class Whisper:
         padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
         padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
         return fn(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
+
+    def sampled_token_probs(self, hidden, row_ids, eot: int):
+        """hidden (P, d), row_ids (P,) int32 -> (P,) f32: per-row softmax
+        probability over the text vocabulary (logits[:, :eot]) of that
+        row's id, computed ON DEVICE.
+
+        The word-timestamp replay only needs one probability per sampled
+        token; fetching the raw (256, n_vocab) f32 logits to compute them
+        on the host cost ~53 MB of host transfer per window on remote-PJRT
+        backends (measured: the word_timestamps path ran transfer-bound at
+        ~4.8x RT before this)."""
+        if eot not in self._token_prob_cache:
+
+            def f(dec, hidden, ids):
+                logits = graphs.hidden_to_logits(dec, hidden)[:, :eot]
+                probs = jax.nn.softmax(logits, axis=-1)
+                return probs[jnp.arange(probs.shape[0]), ids]
+
+            self._token_prob_cache[eot] = jax.jit(f)
+        return self._token_prob_cache[eot](
+            self.params["decoder"],
+            hidden,
+            jnp.asarray(row_ids, dtype=jnp.int32),
+        )
 
     def decode_step(self, tokens, pos, cache, src, ck, cv):
         with profiling.timed("decode_step"):

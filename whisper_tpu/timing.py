@@ -96,14 +96,25 @@ def find_alignment(
         np.asarray([tokens], dtype=np.int32), n, ck, cv
     )
 
-    logits = np.asarray(model.hidden_to_logits(hidden[0]))[:n]
-    sampled_logits = logits[len(tokenizer.sot_sequence) :, : tokenizer.eot]
-    shifted = sampled_logits - sampled_logits.max(axis=-1, keepdims=True)
-    token_probs = np.exp(shifted) / np.exp(shifted).sum(axis=-1, keepdims=True)
-    text_token_probs = token_probs[np.arange(len(text_tokens)), text_tokens].tolist()
+    # per-token probabilities computed on device — only (P,) floats cross
+    # the host boundary, not the (P, n_vocab) logits (reference computes
+    # host-side from full logits, timing.py:191-198; same softmax-over-
+    # text-vocab semantics)
+    sot_len = len(tokenizer.sot_sequence)
+    row_ids = np.zeros(hidden.shape[1], dtype=np.int32)
+    row_ids[sot_len : sot_len + len(text_tokens)] = text_tokens
+    probs = np.asarray(model.sampled_token_probs(hidden[0], row_ids, tokenizer.eot))
+    text_token_probs = probs[sot_len : sot_len + len(text_tokens)].tolist()
 
-    # (heads, tokens, frames)
-    weights = np.asarray(align, dtype=np.float64)[:, :n, : num_frames // 2]
+    # (heads, tokens, frames) — fetch only the token rows the DTW needs:
+    # the full (heads, 256, 1500) f32 block is tens of MB over remote PJRT
+    # while a window rarely has >100 sampled tokens. The slice length is
+    # bucketed to multiples of 32 so the jit cache holds at most 8 slice
+    # programs.
+    nb = min(align.shape[1], ((n + 31) // 32) * 32)
+    weights = np.asarray(align[:, :nb, :]).astype(np.float64)[
+        :, :n, : num_frames // 2
+    ]
     weights = weights * qk_scale
     weights = np.exp(weights - weights.max(axis=-1, keepdims=True))
     weights = weights / weights.sum(axis=-1, keepdims=True)
