@@ -2,7 +2,23 @@
 
 The jnp path (engine_fused._apply_filters + _beam_update) is pinned against
 the host engine which is pinned against the reference implementation, so
-kernel == jnp here means kernel == reference."""
+kernel == jnp here means kernel == reference.
+
+Equivalence matrix for the default-OFF kernels (ops/beam_kernel.py) — every
+semantics-bearing path must stay covered or the kernels move to experiments/:
+
+  path                        | covered by
+  ----------------------------+------------------------------------------
+  beam update, timestamps ON  | test_kernel_matches_jnp_update[use_ts=True]
+  beam update, timestamps OFF | test_kernel_matches_jnp_update[use_ts=False]
+  beam finished-pool fold     | test_kernel_matches_jnp_update[boost_eot]
+  beam step-0 dedup           | test_kernel_matches_jnp_update[step=0]
+  greedy t==0, ts ON/OFF      | test_greedy_kernel_matches_jnp
+  single- vs two-pass sweep   | test_kernel_matches_jnp_update[single_pass]
+  engine plumbing: greedy     | test_fused.py::test_fused_pallas_wiring[greedy]
+  engine plumbing: beam       | test_fused.py::test_fused_pallas_wiring[beam2]
+  t>0 lax.cond fallback       | test_fused.py::test_fused_pallas_wiring[sampling-fallback]
+"""
 
 import jax
 import jax.numpy as jnp

@@ -90,15 +90,34 @@ def test_fused_sampling_terminates(tpu_model, mel):
     assert 0 < len(res.tokens) <= 20
 
 
-@pytest.mark.parametrize("kw", [dict(language="en", temperature=0.0, sample_len=8)])
-def test_fused_pallas_greedy_wiring(tpu_model, mel, kw, monkeypatch):
-    """The kernel-based greedy update (interpret mode on CPU) produces the
-    same tokens as the jnp fused path end-to-end — covers the cond/finish
-    plumbing, not just the kernel math (test_beam_kernel.py)."""
+@pytest.mark.parametrize(
+    "kw",
+    [
+        dict(language="en", temperature=0.0, sample_len=8),
+        # beam search through the kernel path end-to-end (finished pools,
+        # row_map reorder, patience bookkeeping)
+        dict(language="en", beam_size=2, sample_len=8),
+        # temperature > 0 exercises the lax.cond FALLBACK branch inside the
+        # pallas-greedy update (the kernel itself only handles t == 0); the
+        # rng split sequence is shared, so tokens must still be identical
+        dict(language="en", temperature=0.7, sample_len=8),
+    ],
+    ids=["greedy", "beam2", "sampling-fallback"],
+)
+def test_fused_pallas_wiring(tpu_model, mel, kw, monkeypatch):
+    """The default-OFF Pallas update kernels (interpret mode on CPU) produce
+    the same tokens as the jnp fused path end-to-end — covers the cond/finish
+    plumbing, not just the kernel math (test_beam_kernel.py). Together with
+    test_beam_kernel.py this is the bit-rot guard for every semantics-bearing
+    path of ops/beam_kernel.py: greedy t==0 (kernel), greedy t>0 (fallback
+    branch), beam search (kernel incl. finished pools), timestamp rules
+    on/off (test_beam_kernel.py parametrization)."""
     monkeypatch.setenv("WHISPER_TPU_PALLAS_BEAM", "0")
     tpu_model.use_fused_decode = True
+    np.random.seed(3)  # pins the engine's per-call rng_seed draw at t > 0
     base = decode(tpu_model, mel, DecodingOptions(**kw))
     monkeypatch.setenv("WHISPER_TPU_PALLAS_BEAM", "1")
+    np.random.seed(3)
     kern = decode(tpu_model, mel, DecodingOptions(**kw))
     assert kern.tokens == base.tokens
     assert abs(kern.avg_logprob - base.avg_logprob) < 1e-4

@@ -102,3 +102,68 @@ def test_median_filter_jax_matches_np(shape):
         a = median_filter_np(x, filter_width)
         b = np.asarray(median_filter_jax(x, filter_width))
         assert np.allclose(a, b, atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# device-side alignment processing vs the float64 host oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("num_frames", [3000, 1102])
+def test_device_alignment_matrix_matches_host(num_frames):
+    """graphs._alignment_cost_matrix (softmax / masked z-norm / boundary-
+    reflecting median filter / head mean, all on device) must match the host
+    float64 pipeline it replaces — including at a segment boundary that is
+    NOT the padded array edge (num_frames < 3000 exercises the dynamic
+    reflect)."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.models.graphs import _alignment_cost_matrix
+
+    rng = np.random.RandomState(5)
+    Hn, P, F = 6, 64, 1500
+    n = 39  # valid token rows
+    fv = num_frames // 2
+    align = (rng.randn(Hn, P, F) * 2.0).astype(np.float32)
+
+    # host oracle: the exact find_alignment math on the sliced array
+    w = align.astype(np.float64)[:, :n, :fv]
+    w = np.exp(w - w.max(axis=-1, keepdims=True))
+    w = w / w.sum(axis=-1, keepdims=True)
+    mean = w.mean(axis=-2, keepdims=True)
+    std = w.std(axis=-2, keepdims=True)
+    w = (w - mean) / std
+    w = median_filter_np(w, 7)
+    expected = w.mean(axis=0)  # (n, fv)
+
+    got = np.asarray(
+        _alignment_cost_matrix(
+            jnp.asarray(align), jnp.int32(n), jnp.int32(fv), jnp.float32(1.0), 7
+        )
+    )[:n, :fv]
+    assert np.abs(got - expected).max() < 1e-4
+
+
+def test_find_alignment_device_matches_host(tpu_model, monkeypatch):
+    """find_alignment end-to-end: the fused device replay and the host
+    float64 path produce the same words with near-identical timings."""
+    from whisper_tpu import timing
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    tok = get_tokenizer(True, language="en", task="transcribe")
+    rng = np.random.RandomState(2)
+    dims = tpu_model.dims
+    xa = rng.randn(1, dims.n_audio_ctx, dims.n_audio_state).astype(np.float32) * 0.3
+    ck, cv = tpu_model.cross_kv(xa)
+    text = tok.encode(" The quick brown fox jumps over the lazy dog.")
+
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_ALIGN", "0")
+    host = timing.find_alignment(tpu_model, tok, text, 3000, ck, cv)
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_ALIGN", "1")
+    dev = timing.find_alignment(tpu_model, tok, text, 3000, ck, cv)
+
+    assert [t.word for t in dev] == [t.word for t in host]
+    for a, b in zip(dev, host):
+        assert abs(a.start - b.start) < 0.05
+        assert abs(a.end - b.end) < 0.05
+        assert abs(a.probability - b.probability) < 1e-3

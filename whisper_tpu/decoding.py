@@ -39,6 +39,10 @@ def _as_array(x):
     """Coerce lists/torch tensors to numpy but leave numpy AND jax device
     arrays untouched — a device-resident mel window must not round-trip
     through the host just for an ndim/shape check."""
+    if hasattr(x, "detach"):  # torch tensor (possibly CUDA / requires_grad)
+        x = x.detach()
+        x = x.cpu().numpy() if hasattr(x, "cpu") else np.asarray(x)
+        return x
     return x if hasattr(x, "ndim") and hasattr(x, "shape") else np.asarray(x)
 
 
@@ -692,7 +696,14 @@ class DecodingTask:
             timestamp_begin=tokenizer.timestamp_begin,
             no_timestamps=tokenizer.no_timestamps,
             no_speech=tokenizer.no_speech if tokenizer.no_speech else 0,
-            rng_seed=np.random.randint(0, 2**31 - 1),
+            # a fresh seed matters only when the sampling branch can execute;
+            # at temperature 0 a fixed seed keeps the engine's device-scalar
+            # cache to one entry instead of one per decoded window
+            rng_seed=(
+                np.random.randint(0, 2**31 - 1)
+                if self.options.temperature > 0
+                else 0
+            ),
         )
 
         n = int(n_tokens)

@@ -611,7 +611,13 @@ class FusedEngine:
         # measurable tunnel overhead
         self._scalar_cache = {}
 
-    def _scalar(self, dtype, value):
+    def _scalar(self, dtype, value, *, cache=True):
+        """Device-resident scalar. `cache=False` for values that vary per call
+        (e.g. fresh RNG seeds): the cache is permanent, and a new entry per
+        decoded window would pin device buffers without bound in long-running
+        servers."""
+        if not cache:
+            return jnp.asarray(value, dtype=dtype)
         key = (dtype, value)
         if key not in self._scalar_cache:
             self._scalar_cache[key] = jnp.asarray(value, dtype=dtype)
@@ -752,7 +758,7 @@ class FusedEngine:
                 ),
                 self._scalar("int32", sample_len),
                 self._scalar("float32", float(temperature)),
-                self._scalar("int32", rng_seed),
+                self._scalar("int32", rng_seed, cache=rng_seed == 0),
             )
             # device_get pre-issues copy_to_host_async for every leaf before
             # blocking: ONE pipelined round trip instead of a serial RTT per

@@ -285,6 +285,92 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
     return x, jnp.stack(kv), jnp.stack(align)
 
 
+def _alignment_cost_matrix(align, n_valid, n_frames_half, qk_scale, medfilt_width):
+    """Process raw alignment-head cross-attention scores into the DTW cost
+    matrix ON DEVICE — the softmax / z-norm / median-filter / head-mean chain
+    the reference runs on host tensors (/root/reference/whisper/timing.py:
+    196-205). Only the small (tokens, frames) matrix then crosses the host
+    boundary instead of the full (heads, tokens, frames) block (~24 MB per
+    window over remote PJRT at 40 heads).
+
+    align: (Hn, P, F) f32 raw scores; n_valid: traced token count;
+    n_frames_half: traced valid frame count (num_frames // 2). Frame columns
+    >= n_frames_half and token rows >= n_valid are excluded exactly as the
+    host path's up-front slicing excludes them; the median filter reflects at
+    the n_frames_half boundary like np.pad(mode="reflect") does at the edge
+    of the sliced array. Rows >= n_valid of the result are garbage; columns
+    >= n_frames_half are junk reads the caller must slice off.
+    """
+    Hn, P, F = align.shape
+    frames = jnp.arange(F)
+    fmask = frames < n_frames_half  # (F,)
+
+    w = align.astype(jnp.float32) * qk_scale
+    w = jnp.where(fmask[None, None, :], w, -jnp.inf)
+    w = jax.nn.softmax(w, axis=-1)  # invalid frames -> exactly 0
+
+    # z-normalize per head over the n_valid token rows (population std)
+    rmask = (jnp.arange(P) < n_valid)[None, :, None]
+    n = n_valid.astype(jnp.float32)
+    mean = jnp.sum(jnp.where(rmask, w, 0.0), axis=1, keepdims=True) / n
+    var = jnp.sum(jnp.where(rmask, (w - mean) ** 2, 0.0), axis=1, keepdims=True) / n
+    w = (w - mean) / jnp.sqrt(var)
+
+    # median filter along frames, reflecting at the dynamic n_frames_half
+    # boundary (the host filters the already-sliced array, so its reflect
+    # edge IS that boundary). Requires n_frames_half > medfilt_width // 2,
+    # which transcribe()'s sub-second-tail discard guarantees.
+    pad = medfilt_width // 2
+    shifted = []
+    for off in range(-pad, pad + 1):
+        idx = frames + off
+        idx = jnp.where(idx < 0, -idx, idx)
+        idx = jnp.where(idx >= n_frames_half, 2 * n_frames_half - 2 - idx, idx)
+        idx = jnp.clip(idx, 0, F - 1)
+        shifted.append(jnp.take(w, idx, axis=-1))
+    w = jnp.sort(jnp.stack(shifted, axis=-1), axis=-1)[..., pad]
+
+    return jnp.mean(w, axis=0)  # (P, F)
+
+
+def alignment_outputs(
+    dec,
+    tokens,
+    n_valid,
+    ck,
+    cv,
+    row_ids,
+    n_frames_half,
+    qk_scale,
+    *,
+    n_head,
+    alignment_heads,
+    eot,
+    medfilt_width=7,
+):
+    """The whole word-timestamp replay as ONE device program: teacher-forced
+    prefill with alignment-head score capture, per-token text probabilities,
+    and the processed DTW cost matrix. One execute RPC per window; only a
+    (P,) probability vector and the (tokens, frames) matrix leave the device
+    (the reference fetches full logits AND raw per-head weights,
+    timing.py:191-205).
+
+    row_ids: (P,) int32 — row_ids[i] is the token whose probability row i
+    reports (0 outside the sampled text range). Returns
+    (text_probs (P,) f32, matrix (P, F) f32).
+    """
+    hidden, _, align = prefill_with_alignment(
+        dec, tokens, n_valid, ck, cv, n_head=n_head, alignment_heads=alignment_heads
+    )
+    logits = hidden_to_logits(dec, hidden[0])[:, :eot]
+    probs = jax.nn.softmax(logits, axis=-1)
+    text_probs = probs[jnp.arange(probs.shape[0]), row_ids]
+    matrix = _alignment_cost_matrix(
+        align, n_valid, n_frames_half, qk_scale, medfilt_width
+    )
+    return text_probs, matrix
+
+
 def decoder_forward(dec, tokens, ck, cv, *, n_head):
     """Teacher-forced decoder pass over full sequences (no KV cache) — the
     training/fine-tuning forward. tokens: (B, T) int32; ck/cv: (L, B or 1, H, dh,

@@ -93,6 +93,7 @@ class Whisper:
         )
         self._logits = jax.jit(graphs.hidden_to_logits)
         self._prefill_align_cache = {}
+        self._align_replay_cache = {}
         self._token_prob_cache = {}
 
     # ---- graph entry points -------------------------------------------------
@@ -154,6 +155,41 @@ class Whisper:
         padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
         padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
         return fn(self.params["decoder"], padded, jnp.int32(n_valid), ck, cv)
+
+    def alignment_replay(
+        self, tokens, n_valid, ck, cv, row_ids, n_frames: int, eot: int,
+        qk_scale: float = 1.0, medfilt_width: int = 7,
+    ):
+        """Run the whole word-timestamp replay as one device program:
+        prefill + alignment-head capture + token probs + softmax/z-norm/
+        median-filter cost-matrix processing (graphs.alignment_outputs).
+        Returns device arrays (text_probs (P,), matrix (P, 1500))."""
+        key = (tuple(self.alignment_heads), eot, medfilt_width)
+        if key not in self._align_replay_cache:
+            self._align_replay_cache[key] = jax.jit(
+                partial(
+                    graphs.alignment_outputs,
+                    n_head=self.dims.n_text_head,
+                    alignment_heads=tuple(self.alignment_heads),
+                    eot=eot,
+                    medfilt_width=medfilt_width,
+                )
+            )
+        fn = self._align_replay_cache[key]
+        tokens = jnp.asarray(tokens, dtype=jnp.int32)
+        B, n = tokens.shape
+        padded = jnp.zeros((B, graphs.PREFILL_LEN), dtype=jnp.int32)
+        padded = jax.lax.dynamic_update_slice(padded, tokens, (0, 0))
+        return fn(
+            self.params["decoder"],
+            padded,
+            jnp.int32(n_valid),
+            ck,
+            cv,
+            jnp.asarray(row_ids, dtype=jnp.int32),
+            jnp.int32(n_frames // 2),
+            jnp.float32(qk_scale),
+        )
 
     def sampled_token_probs(self, hidden, row_ids, eot: int):
         """hidden (P, d), row_ids (P,) int32 -> (P,) f32: per-row softmax

@@ -32,6 +32,14 @@ def _use_pallas() -> bool:
     return bool(os.environ.get("WHISPER_TPU_PALLAS"))
 
 
+def _use_device_align() -> bool:
+    """Process alignment weights on device (one fused replay program; only
+    the (tokens, frames) cost matrix crosses the host boundary). Default on;
+    WHISPER_TPU_DEVICE_ALIGN=0 selects the float64 host path, which is the
+    reference-fidelity oracle the device path is tested against."""
+    return os.environ.get("WHISPER_TPU_DEVICE_ALIGN", "1") != "0"
+
+
 def median_filter(x: np.ndarray, filter_width: int) -> np.ndarray:
     if _use_pallas():
         from .ops.pallas_kernels import median_filter_pallas
@@ -92,39 +100,58 @@ def find_alignment(
         ]
 
     n = len(tokens)
-    hidden, _, align = model.prefill_align(
-        np.asarray([tokens], dtype=np.int32), n, ck, cv
-    )
-
-    # per-token probabilities computed on device — only (P,) floats cross
-    # the host boundary, not the (P, n_vocab) logits (reference computes
-    # host-side from full logits, timing.py:191-198; same softmax-over-
-    # text-vocab semantics)
     sot_len = len(tokenizer.sot_sequence)
-    row_ids = np.zeros(hidden.shape[1], dtype=np.int32)
+    # row_ids[i] = the token whose probability row i reports (reference
+    # computes these host-side from full logits, timing.py:191-198; same
+    # softmax-over-text-vocab semantics)
+    row_ids = np.zeros(PREFILL_LEN, dtype=np.int32)
     row_ids[sot_len : sot_len + len(text_tokens)] = text_tokens
-    probs = np.asarray(model.sampled_token_probs(hidden[0], row_ids, tokenizer.eot))
+    # fetched matrix rows are bucketed to multiples of 32 so the row-slice
+    # jit cache holds at most 8 programs
+    nb = min(PREFILL_LEN, ((n + 31) // 32) * 32)
+
+    if _use_device_align():
+        # one fused device program: prefill + alignment capture + token
+        # probs + softmax/z-norm/median-filter matrix processing. Only (P,)
+        # probs and (nb, 1500) f32 matrix rows cross the host boundary —
+        # the raw per-head block is ~24 MB per window at 40 heads.
+        tp, matrix_dev = model.alignment_replay(
+            np.asarray([tokens], dtype=np.int32),
+            n,
+            ck,
+            cv,
+            row_ids,
+            num_frames,
+            tokenizer.eot,
+            qk_scale=qk_scale,
+            medfilt_width=medfilt_width,
+        )
+        probs = np.asarray(tp)
+        matrix = np.asarray(matrix_dev[:nb]).astype(np.float64)
+        matrix = matrix[sot_len : n - 1, : num_frames // 2]
+    else:
+        hidden, _, align = model.prefill_align(
+            np.asarray([tokens], dtype=np.int32), n, ck, cv
+        )
+        probs = np.asarray(
+            model.sampled_token_probs(hidden[0], row_ids, tokenizer.eot)
+        )
+        # (heads, tokens, frames) — fetch only the token rows the DTW needs
+        weights = np.asarray(align[:, :nb, :]).astype(np.float64)[
+            :, :n, : num_frames // 2
+        ]
+        weights = weights * qk_scale
+        weights = np.exp(weights - weights.max(axis=-1, keepdims=True))
+        weights = weights / weights.sum(axis=-1, keepdims=True)
+        mean = weights.mean(axis=-2, keepdims=True)
+        std = weights.std(axis=-2, keepdims=True)  # population std (ddof=0)
+        weights = (weights - mean) / std
+        weights = median_filter(weights, medfilt_width)
+
+        matrix = weights.mean(axis=0)
+        matrix = matrix[sot_len : n - 1]
+
     text_token_probs = probs[sot_len : sot_len + len(text_tokens)].tolist()
-
-    # (heads, tokens, frames) — fetch only the token rows the DTW needs:
-    # the full (heads, 256, 1500) f32 block is tens of MB over remote PJRT
-    # while a window rarely has >100 sampled tokens. The slice length is
-    # bucketed to multiples of 32 so the jit cache holds at most 8 slice
-    # programs.
-    nb = min(align.shape[1], ((n + 31) // 32) * 32)
-    weights = np.asarray(align[:, :nb, :]).astype(np.float64)[
-        :, :n, : num_frames // 2
-    ]
-    weights = weights * qk_scale
-    weights = np.exp(weights - weights.max(axis=-1, keepdims=True))
-    weights = weights / weights.sum(axis=-1, keepdims=True)
-    mean = weights.mean(axis=-2, keepdims=True)
-    std = weights.std(axis=-2, keepdims=True)  # population std (ddof=0)
-    weights = (weights - mean) / std
-    weights = median_filter(weights, medfilt_width)
-
-    matrix = weights.mean(axis=0)
-    matrix = matrix[len(tokenizer.sot_sequence) : -1]
     text_indices, time_indices = dtw(-matrix)
 
     words, word_tokens = tokenizer.split_to_word_tokens(text_tokens + [tokenizer.eot])
