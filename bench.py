@@ -70,7 +70,6 @@ import jax.numpy as jnp  # noqa: E402
 
 from whisper_tpu.engine_fused import FusedEngine  # noqa: E402
 from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
-from whisper_tpu.ops.stft import log_mel_spectrogram_jax  # noqa: E402
 from whisper_tpu.tokenizer import get_tokenizer  # noqa: E402
 
 CLIP_SECONDS = 60
@@ -121,16 +120,14 @@ def main():
     # real-DFT STFT on the MXU) -> window stacking -> batched encoder ->
     # cross-KV. Nothing leaves HBM, and — as important on a remote-PJRT
     # backend — the clip costs ONE execute RPC instead of ~6 (the per-RPC
-    # tunnel overhead was ~150 ms of a 290 ms clip).
-    from whisper_tpu.models import graphs
+    # tunnel overhead was ~150 ms of a 290 ms clip). This is the PRODUCT
+    # frontend (whisper_tpu/frontend.py), not a bench-local graph: the bench
+    # measures the code users run.
+    from whisper_tpu.frontend import clip_frontend
 
-    @jax.jit
-    def frontend(enc_params, dec_params, audio):
-        mel = log_mel_spectrogram_jax(audio, dims.n_mels)
-        windows = mel[:, : n_windows * 3000].reshape(dims.n_mels, n_windows, 3000)
-        windows = jnp.transpose(windows, (1, 0, 2))
-        xa = graphs.encode(enc_params, windows, n_head=dims.n_audio_head)
-        return graphs.cross_kv(dec_params, xa, n_head=dims.n_text_head)
+    frontend = clip_frontend(
+        dims.n_mels, dims.n_audio_head, dims.n_text_head, n_windows
+    )
 
     # int16 upload: half the bytes of the pipeline's largest host->device
     # transfer; the device converts as i/32768 (the s16 PCM semantic).

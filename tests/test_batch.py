@@ -76,3 +76,41 @@ def test_batch_word_timestamps_match_transcribe(tpu_model, jfk_audio):
     for a, b in zip(words, ref_words):
         assert abs(a["start"] - b["start"]) < 1e-6
         assert abs(a["end"] - b["end"]) < 1e-6
+
+
+def test_batch_device_mel_matches_host(tpu_model, jfk_audio, monkeypatch):
+    """transcribe_batch with the device frontend (batched device mel + the
+    vmapped window-slice program) produces the same transcripts as the host
+    numpy mel path."""
+    streams = [jfk_audio, jfk_audio[16000 * 3 :]]
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "0")
+    host = transcribe_batch(tpu_model, streams, language="en", temperature=0.0)
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "1")
+    dev = transcribe_batch(tpu_model, streams, language="en", temperature=0.0)
+    for a, b in zip(dev, host):
+        assert a["text"] == b["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]
+
+
+def test_encode_clip_matches_encode_windows(tpu_model, jfk_audio):
+    """frontend.encode_clip (the one-program clip frontend bench.py measures)
+    == per-window host mel + encode_with_cross_kv."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.audio import N_FRAMES, N_SAMPLES, pad_or_trim
+    from whisper_tpu.frontend import encode_clip
+
+    ck, cv, n_windows = encode_clip(tpu_model, jfk_audio)
+    assert n_windows == 1  # 11 s clip
+
+    from whisper_tpu import log_mel_spectrogram
+
+    mel = log_mel_spectrogram(jfk_audio, tpu_model.dims.n_mels, padding=N_SAMPLES)
+    window = pad_or_trim(mel[:, :N_FRAMES], N_FRAMES).astype(np.float32)
+    _, ck_ref, cv_ref = tpu_model.encode_with_cross_kv(jnp.asarray(window)[None])
+
+    assert ck.shape == ck_ref.shape
+    assert np.abs(np.asarray(ck) - np.asarray(ck_ref)).max() < 2e-3
+    assert np.abs(np.asarray(cv) - np.asarray(cv_ref)).max() < 2e-3

@@ -1,0 +1,174 @@
+#!/usr/bin/env python
+"""Real-weight readiness drill: one command that produces every piece of
+real-checkpoint evidence the build sandbox cannot (no network, no official
+weights), the moment weights or network ARE available.
+
+    python tools/validate_real.py [--models tiny.en,turbo]
+                                  [--librispeech PATH] [--limit 100]
+                                  [--out validate_real_report.json]
+
+It (1) downloads the requested official checkpoints if a network is up (or
+uses ~/.cache/whisper if pre-seeded), (2) runs the real-checkpoint E2E pytest
+contract (tests/test_real_checkpoint.py — canonical jfk transcript + word
+timings, mirroring /root/reference/tests/test_transcribe.py:10-42), (3)
+measures WER over LibriSpeech test-clean via tools/eval_wer.py when a dataset
+path is given (see data/README.md for the one-command dataset recipe), and
+(4) runs a long-form structural check (repeated-clip audio: monotone
+segments, repeated canonical text, full-seek coverage — the offline stand-in
+for the reference's data/meanwhile.json golden). Offline, every section
+reports a clean "skipped" with the reason; the report is always written.
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), os.pardir))
+
+JFK = os.path.join(os.path.dirname(__file__), os.pardir, "tests", "data", "jfk.flac")
+
+
+def network_up(timeout: float = 5.0) -> bool:
+    import urllib.request
+
+    from whisper_tpu.models.registry import _MODELS
+
+    try:
+        req = urllib.request.Request(_MODELS["tiny.en"], method="HEAD")
+        urllib.request.urlopen(req, timeout=timeout)
+        return True
+    except Exception:
+        return False
+
+
+def cached(name: str) -> bool:
+    from whisper_tpu.models.registry import _MODELS, default_download_root
+
+    path = os.path.join(default_download_root(), os.path.basename(_MODELS[name]))
+    return os.path.isfile(path)
+
+
+def ensure_checkpoint(name: str, net: bool) -> dict:
+    if cached(name):
+        return {"status": "cached"}
+    if not net:
+        return {"status": "skipped", "reason": "no network and not cached"}
+    from whisper_tpu.models.registry import download_checkpoint
+
+    t0 = time.time()
+    try:
+        download_checkpoint(name)
+        return {"status": "downloaded", "seconds": round(time.time() - t0, 1)}
+    except Exception as e:  # noqa: BLE001 — report, don't crash the drill
+        return {"status": "error", "error": str(e)}
+
+
+def run_e2e_tests() -> dict:
+    cmd = [
+        sys.executable, "-m", "pytest",
+        os.path.join(os.path.dirname(__file__), os.pardir, "tests", "test_real_checkpoint.py"),
+        "-q", "--no-header",
+    ]  # fmt: skip
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    tail = (proc.stdout or "").strip().splitlines()[-1:] or [""]
+    return {
+        "status": "passed" if proc.returncode == 0 else "failed",
+        "summary": tail[0],
+    }
+
+
+def run_wer(librispeech: str, model: str, limit: int) -> dict:
+    if not librispeech:
+        return {
+            "status": "skipped",
+            "reason": "no --librispeech path (see data/README.md for the recipe)",
+        }
+    if not os.path.isdir(librispeech):
+        return {"status": "skipped", "reason": f"{librispeech} not found"}
+    cmd = [
+        sys.executable, os.path.join(os.path.dirname(__file__), "eval_wer.py"),
+        "--librispeech", librispeech, "--model", model, "--limit", str(limit),
+    ]  # fmt: skip
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    out = (proc.stdout or "").strip().splitlines()
+    return {
+        "status": "ok" if proc.returncode == 0 else "failed",
+        "output": out[-3:],
+    }
+
+
+def run_longform(model_name: str) -> dict:
+    """Long-form structural check on ~3.5 min of repeated jfk audio."""
+    if not cached(model_name):
+        return {"status": "skipped", "reason": f"{model_name} not cached"}
+    import numpy as np
+
+    import whisper_tpu
+
+    model = whisper_tpu.load_model(model_name)
+    audio = whisper_tpu.load_audio(JFK)
+    long_audio = np.concatenate([audio] * 19)  # ~3.5 minutes
+    t0 = time.time()
+    res = model.transcribe(long_audio, language="en", temperature=0.0, verbose=None)
+    secs = time.time() - t0
+    segs = res["segments"]
+    starts = [s["start"] for s in segs]
+    problems = []
+    if starts != sorted(starts):
+        problems.append("segment starts not monotone")
+    if res["text"].lower().count("fellow americans") < 10:
+        problems.append("repeated canonical phrase mostly missing")
+    if segs and segs[-1]["end"] < len(long_audio) / 16000 - 30:
+        problems.append("final segment ends >30 s before the audio does")
+    return {
+        "status": "ok" if not problems else "failed",
+        "seconds": round(secs, 1),
+        "segments": len(segs),
+        "problems": problems,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default="tiny.en,turbo")
+    ap.add_argument("--librispeech", default=os.environ.get("LIBRISPEECH_DIR", ""))
+    ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument("--out", default="validate_real_report.json")
+    args = ap.parse_args()
+
+    models = [m.strip() for m in args.models.split(",") if m.strip()]
+    net = network_up()
+    report = {
+        "timestamp": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+        "network": net,
+        "checkpoints": {m: ensure_checkpoint(m, net) for m in models},
+    }
+    any_weights = any(cached(m) for m in models)
+    report["e2e_tests"] = (
+        run_e2e_tests()
+        if any_weights
+        else {"status": "skipped", "reason": "no checkpoints available"}
+    )
+    report["wer"] = (
+        run_wer(args.librispeech, models[0], args.limit)
+        if any_weights
+        else {"status": "skipped", "reason": "no checkpoints available"}
+    )
+    report["longform"] = run_longform(models[0])
+
+    with open(args.out, "w") as f:
+        json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    ok = all(
+        sec.get("status") in ("ok", "passed", "skipped", "cached", "downloaded")
+        for sec in [report["e2e_tests"], report["wer"], report["longform"]]
+        + list(report["checkpoints"].values())
+    )
+    sys.exit(0 if ok else 1)
+
+
+if __name__ == "__main__":
+    main()

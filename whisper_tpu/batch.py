@@ -27,11 +27,11 @@ from .utils import exact_div
 
 
 class _Stream:
-    def __init__(self, idx: int, mel: np.ndarray):
+    def __init__(self, idx: int, mel: Optional[np.ndarray], content_frames: int):
         self.last_speech_timestamp = 0.0
         self.idx = idx
-        self.mel = mel
-        self.content_frames = mel.shape[-1] - N_FRAMES
+        self.mel = mel  # host mel; None when the mel lives on device
+        self.content_frames = content_frames
         self.seek = 0
         self.all_tokens: List[int] = []
         self.all_segments: List[dict] = []
@@ -68,17 +68,55 @@ def transcribe_batch(
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
 
+    # All streams' mels as ONE device block (one upload + one program) when
+    # the device frontend is on; per-stream host numpy mel otherwise. Window
+    # slicing then happens per round: one vmapped device program vs N host
+    # slices + an upload (whisper_tpu/frontend.py owns both pieces).
+    from .transcribe import _use_device_mel
+
+    use_device_mel = _use_device_mel()
     streams = []
-    for i, audio in enumerate(audios):
-        mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
-        streams.append(_Stream(i, mel))
+    device_mels = None
+    if use_device_mel:
+        from .audio import load_audio
+        from .frontend import batched_device_mel, batched_mel_windows
+
+        loaded = [
+            load_audio(a) if isinstance(a, str) else np.asarray(a, np.float32)
+            for a in audios
+        ]
+        device_mels, content_list = batched_device_mel(loaded, model.dims.n_mels)
+        for i, cf in enumerate(content_list):
+            streams.append(_Stream(i, None, cf))
+    else:
+        for i, audio in enumerate(audios):
+            mel = log_mel_spectrogram(audio, model.dims.n_mels, padding=N_SAMPLES)
+            streams.append(_Stream(i, mel, mel.shape[-1] - N_FRAMES))
+
+    def stream_windows(seeks, sizes):
+        """(B, n_mels, N_FRAMES) windows, one per stream, zero past size."""
+        if use_device_mel:
+            return batched_mel_windows(device_mels, seeks, sizes)
+        rows = []
+        for s, seek, size in zip(streams, seeks, sizes):
+            if size <= 0:
+                rows.append(np.zeros((s.mel.shape[0], N_FRAMES), np.float32))
+            else:
+                rows.append(
+                    pad_or_trim(s.mel[:, seek : seek + size], N_FRAMES).astype(
+                        np.float32
+                    )
+                )
+        return np.stack(rows)
 
     # language detection on each stream's first window if needed
     if language is None:
         langs = []
-        for s in streams:
-            window = pad_or_trim(s.mel[:, :N_FRAMES], N_FRAMES)
-            _, probs = model.detect_language(window.astype(np.float32))
+        # full windows, no zero mask: short streams detect on their real
+        # silence-mel padding exactly like the host path's mel[:, :N_FRAMES]
+        first = stream_windows([0] * len(streams), [N_FRAMES] * len(streams))
+        for i in range(len(streams)):
+            _, probs = model.detect_language(first[i])
             langs.append(max(probs, key=probs.get))
         # heterogeneous languages are allowed; tokenizer is per-stream
         stream_language = langs
@@ -115,7 +153,7 @@ def transcribe_batch(
                     prompt=list(prompt) or None, **kwargs
                 )  # fmt: skip
                 task_obj = DecodingTask(model, opts)
-                out = task_obj.run(mels[idxs])
+                out = task_obj.run(mels[np.asarray(idxs)])
                 for i, r in zip(idxs, out):
                     results[i] = r
         finally:
@@ -128,22 +166,23 @@ def transcribe_batch(
         # discarded); the fused engine is keyed on n_audio
         active = streams
 
-        # stream windows and per-stream prompts
-        windows, prompts = [], []
+        # stream windows and per-stream prompts (finished streams decode a
+        # zero window whose result is discarded)
+        seeks, sizes, prompts = [], [], []
         for s in active:
             if s.done:
-                windows.append(np.zeros((s.mel.shape[0], N_FRAMES), np.float32))
+                seeks.append(0)
+                sizes.append(0)
                 prompts.append([])
                 continue
-            segment_size = min(N_FRAMES, s.content_frames - s.seek)
-            window = pad_or_trim(s.mel[:, s.seek : s.seek + segment_size], N_FRAMES)
-            windows.append(window.astype(np.float32))
+            seeks.append(s.seek)
+            sizes.append(min(N_FRAMES, s.content_frames - s.seek))
             prompts.append(
                 s.all_tokens[s.prompt_reset_since :]
                 if condition_on_previous_text
                 else []
             )
-        mels = np.stack(windows)
+        mels = stream_windows(seeks, sizes)
 
         # batch by language (usually one group)
         lang_groups = {}
@@ -153,7 +192,10 @@ def transcribe_batch(
         results: List[Optional[DecodingResult]] = [None] * len(active)
         for lang, positions in lang_groups.items():
             sub_results = decode_batch(
-                mels[positions], [prompts[p] for p in positions], lang, temperatures[0]
+                mels[np.asarray(positions)],
+                [prompts[p] for p in positions],
+                lang,
+                temperatures[0],
             )
             # per-stream temperature fallback for failed windows only
             for slot, r in zip(positions, sub_results):

@@ -150,13 +150,15 @@ def _apply_filters(
     logits = jnp.where(at_begin & initial_mask, NEG_INF, logits)
 
     # if the total timestamp probability mass beats every text token, only
-    # timestamps may be sampled
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
+    # timestamps may be sampled. The comparison is shift-invariant, so it
+    # runs on RAW logits — materializing the (G, V) f32 log_softmax just to
+    # subtract the same constant from both sides cost a full-vocab
+    # write+read per step (profiled as the 34 us/step `sub`)
     ts_mass = jax.nn.logsumexp(
-        jnp.where((vocab_ids >= ts_begin)[None, :], logprobs, NEG_INF), axis=-1
+        jnp.where((vocab_ids >= ts_begin)[None, :], logits, NEG_INF), axis=-1
     )
     max_text = jnp.max(
-        jnp.where((vocab_ids < ts_begin)[None, :], logprobs, NEG_INF), axis=-1
+        jnp.where((vocab_ids < ts_begin)[None, :], logits, NEG_INF), axis=-1
     )
     logits = jnp.where(
         (ts_mass > max_text)[:, None] & (vocab_ids < ts_begin)[None, :],
@@ -183,8 +185,11 @@ def _greedy_update(logits, state: FusedState, temperature, cfg: FusedConfig):
 
     next_tokens = jax.lax.cond(temperature == 0, greedy, sample, None)
 
-    logprobs = jax.nn.log_softmax(logits, axis=-1)
-    current = logprobs[jnp.arange(G), next_tokens]
+    # logprob of the chosen token without materializing the (G, V) f32
+    # log_softmax: logprob = logit - logsumexp(row) (same value, one
+    # reduction instead of a full-vocab write+read)
+    lse = jax.nn.logsumexp(logits, axis=-1)
+    current = logits[jnp.arange(G), next_tokens] - lse
     return _greedy_finish(state, next_tokens, current, rng, cfg)
 
 
@@ -196,9 +201,12 @@ def _greedy_finish(state: FusedState, next_tokens, current, rng, cfg: FusedConfi
     sum_logprobs = state.sum_logprobs + jnp.where(already_done, 0.0, current)
     next_tokens = jnp.where(already_done, cfg.eot, next_tokens)
 
-    tokens = jax.lax.dynamic_update_slice(
-        state.tokens, next_tokens[:, None], (0, state.n_tokens)
-    )
+    # one-hot select, NOT dynamic_update_slice: a DUS whose dynamic offset is
+    # in the LANE (minormost) dimension lowers to a serialized masked rewrite
+    # on TPU — profiled at 318 us/step (32% of the decode step) vs ~5 us for
+    # the fused compare+select over the same bytes
+    col = jnp.arange(state.tokens.shape[1]) == state.n_tokens
+    tokens = jnp.where(col[None, :], next_tokens[:, None], state.tokens)
     completed = jnp.all(next_tokens == cfg.eot)
     return state._replace(
         tokens=tokens,
@@ -220,10 +228,15 @@ def _beam_update(logits, state: FusedState, cfg: FusedConfig):
     K = G + 1  # candidates per beam
     B = A * G
     n_cand = G * K
-    logprobs = jax.nn.log_softmax(logits, axis=-1)  # (B, V) f32
 
-    # per-beam top-(G+1): ties at lower token index first (torch.topk order)
-    top_lp, top_tok = jax.lax.top_k(logprobs, K)  # (B, K)
+    # per-beam top-(G+1): ties at lower token index first (torch.topk order).
+    # top_k runs on RAW logits — log_softmax is a per-row shift, so the
+    # selected indices and tie order are identical, and converting only the
+    # K winners (logit - logsumexp == log_softmax value) skips a full-vocab
+    # (B, V) f32 materialization per step
+    lse = jax.nn.logsumexp(logits, axis=-1)  # (B,)
+    top_raw, top_tok = jax.lax.top_k(logits, K)  # (B, K)
+    top_lp = top_raw - lse[:, None]
     cand_scores = (state.sum_logprobs[:, None] + top_lp).reshape(A, n_cand)
     cand_tokens = top_tok.reshape(A, n_cand)
 
@@ -260,10 +273,12 @@ def _beam_update(logits, state: FusedState, cfg: FusedConfig):
     # global row indices for the cache/token gathers
     new_src = (new_src_local + jnp.arange(A)[:, None] * G).reshape(B)
 
+    # lane-offset writes as one-hot selects (see _greedy_finish): the former
+    # dynamic_update_slice chain here was the single most expensive op of the
+    # whole decode step (318 us/step profiled, ~0 FLOPs)
+    col = jnp.arange(state.tokens.shape[1]) == state.n_tokens  # (448,)
     tokens = state.tokens[new_src]
-    tokens = jax.lax.dynamic_update_slice(
-        tokens, new_tokens.reshape(B, 1), (0, state.n_tokens)
-    )
+    tokens = jnp.where(col[None, :], new_tokens.reshape(B, 1), tokens)
 
     # fold newly finished sequences into the per-audio patience-capped
     # buffers, in rank order, while capacity remains
@@ -279,8 +294,8 @@ def _beam_update(logits, state: FusedState, cfg: FusedConfig):
     src_global = (order_src + jnp.arange(A)[:, None] * G).reshape(A * n_cand)
     seqs = state.tokens[src_global]  # (A*n_cand, T) prefixes before this step
     seqs = jnp.pad(seqs, ((0, 0), (0, 1)))  # (A*n_cand, T+1)
-    eot_col = jnp.broadcast_to(jnp.int32(cfg.eot), (A * n_cand, 1))
-    seqs = jax.lax.dynamic_update_slice(seqs, eot_col, (0, state.n_tokens))
+    col1 = jnp.arange(seqs.shape[1]) == state.n_tokens
+    seqs = jnp.where(col1[None, :], jnp.int32(cfg.eot), seqs)
 
     T1 = state.finished_tokens.shape[2]
     ftok = (
@@ -527,8 +542,11 @@ def fused_decode(
             if cfg.beam_search:
                 # the slot decode_step writes this step belongs to the
                 # CURRENT logical beams: physical row == logical row
-                row_map = jax.lax.dynamic_update_slice(
-                    row_map, jnp.arange(B, dtype=jnp.int32)[:, None], (0, pos)
+                # (one-hot select — lane-offset DUS is pathological on TPU)
+                row_map = jnp.where(
+                    (jnp.arange(row_map.shape[1]) == pos)[None, :],
+                    jnp.arange(B, dtype=jnp.int32)[:, None],
+                    row_map,
                 )
             logits, cache = graphs.decode_step(
                 dec_params,
