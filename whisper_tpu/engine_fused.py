@@ -532,6 +532,22 @@ def fused_decode(
     def cond(st: FusedState):
         return (~st.completed) & (st.step < sample_len) & (st.n_tokens < n_ctx)
 
+    # pre-slice per-layer weights and cross-K/V OUTSIDE the while loop for
+    # shallow (unrolled) decoders: XLA kept re-materializing the per-layer
+    # slices inside the loop body every step (see graphs.decode_step)
+    if L <= 8:
+        step_dec = dict(
+            dec_params,
+            blocks=tuple(
+                jax.tree.map(lambda a, l=l: a[l], dec_params["blocks"])
+                for l in range(L)
+            ),
+        )
+        step_ck = tuple(ck[l] for l in range(L))
+        step_cv = tuple(cv[l] for l in range(L))
+    else:
+        step_dec, step_ck, step_cv = dec_params, ck, cv
+
     def make_body(window):
         W = n_cache if window is None else window
 
@@ -549,13 +565,13 @@ def fused_decode(
                     row_map,
                 )
             logits, cache = graphs.decode_step(
-                dec_params,
+                step_dec,
                 step_toks,
                 pos,
                 st.cache,
                 st.src,
-                ck,
-                cv,
+                step_ck,
+                step_cv,
                 n_head=n_head,
                 reorder=False,  # beam reorder is lazy via row_map
                 window=window,

@@ -28,11 +28,31 @@ LayerNorm epsilons follow the reference: 1e-7 in the audio encoder
 (encoder.py:66,95), 1e-5 (torch default) in the text decoder.
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 
 CACHE_SLOTS = 448  # n_text_ctx; fixed self-attention cache length
 PREFILL_LEN = 256  # max first-pass token length (224 prompt + 3 sot + margin)
+
+
+def _slot_write(cache, new_kv, pos):
+    """Write this step's (L, 2, B, 1, d) K/V into slot `pos` of the cache.
+
+    XLA lays the loop-carried cache out with the SLOT dim as the lane
+    (minormost) dimension — the attention einsums want slots in lanes — so a
+    dynamic_update_slice of one slot is a masked rewrite of every (8, 128)
+    tile in the cache: profiled at 315 us/step on turbo beam-5 (13 MB at an
+    effective 85 GB/s), the single most expensive op of the decode step. A
+    dense one-hot select writes the same bytes but vectorizes cleanly in
+    that layout. WHISPER_TPU_SLOT_WRITE=dus restores the old path for A/B.
+    """
+    if os.environ.get("WHISPER_TPU_SLOT_WRITE") == "dus":
+        return jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
+    W = cache.shape[3]
+    hit = (jnp.arange(W) == pos)[None, None, None, :, None]
+    return jnp.where(hit, new_kv, cache)
 
 
 def layer_norm(x, g, b, eps):
@@ -450,7 +470,13 @@ def decode_step(
     Returns (logits (B, n_vocab) f32, new cache).
     """
     blocks = dec["blocks"]
-    dtype = blocks["attn_q_w"].dtype
+    # blocks/ck/cv may arrive PRE-SLICED per layer (tuples built once outside
+    # the decode while-loop): even with the layer loop fully unrolled, XLA
+    # kept per-step kLoop fusions re-materializing each layer's weight and
+    # cross-K/V slices inside the loop body (~76 us/step of pure copy on
+    # turbo beam-5, HLO-verified) — slicing outside the loop hoists them.
+    presliced = isinstance(blocks, (list, tuple))
+    dtype = (blocks[0] if presliced else blocks)["attn_q_w"].dtype
     beam = tokens.shape[0]
     d = dec["tok_emb"].shape[1]
     dh = d // n_head
@@ -569,25 +595,37 @@ def decode_step(
         x = x + _mlp(x, blk)
         return x, jnp.stack([k, v])  # (2, beam, d) — this layer's new slot
 
-    # shallow decoders (turbo: 4 layers) unroll: one fused block instead of
-    # scan mechanics + per-iteration launches (the turbo loop was ~50%
-    # sequencing overhead at 0.75 ms/step of actual device work)
-    x, new_kv = jax.lax.scan(
-        block, x, (blocks, cache, ck, cv), unroll=True if L <= 8 else 1
-    )
+    # shallow decoders (turbo: 4 layers) unroll as a PYTHON loop, not
+    # lax.scan(unroll=True): even fully unrolled, scan's per-layer xs slices
+    # survived as kLoop fusions INSIDE the decode while-loop — every step
+    # re-sliced and re-materialized each layer's (d, d)/(d, 4d) weight
+    # matrices (~68 us/step of pure copy on turbo beam-5, HLO-verified).
+    # Static tree indexing gives XLA loop-invariant weight operands it feeds
+    # to the matmuls directly.
+    if presliced or L <= 8:
+        new_slots = []
+        for l in range(L):
+            blk_l = blocks[l] if presliced else jax.tree.map(lambda a: a[l], blocks)
+            ck_l = ck[l]
+            cv_l = cv[l]
+            x, kv_l = block(x, (blk_l, cache[l], ck_l, cv_l))
+            new_slots.append(kv_l)
+        new_kv = jnp.stack(new_slots)
+    else:
+        x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))
     new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
     if row_map is not None:
         # lazy reorder: rows never move — only the new slot lands in the cache
-        cache = jax.lax.dynamic_update_slice(full_cache, new_kv, (0, 0, 0, pos, 0))
+        cache = _slot_write(full_cache, new_kv, pos)
     elif W != C and reorder:
         # write the reordered slab (with the new slot) back into the full cache
-        cache = jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
+        cache = _slot_write(cache, new_kv, pos)
         cache = jax.lax.dynamic_update_slice(full_cache, cache, (0, 0, 0, 0, 0))
     elif W != C:
         # greedy: slab untouched — only the new slot lands in the full cache
-        cache = jax.lax.dynamic_update_slice(full_cache, new_kv, (0, 0, 0, pos, 0))
+        cache = _slot_write(full_cache, new_kv, pos)
     else:
-        cache = jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
+        cache = _slot_write(cache, new_kv, pos)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     logits = hidden_to_logits(dec, x[:, 0])
     return logits, cache
