@@ -345,7 +345,11 @@ def main_hedged(n_workers: int):
 
 
 if __name__ == "__main__":
-    n_workers = int(os.environ.get("BENCH_WARM_WORKERS", "1"))
+    # default to a 3-way hedged warmup: the remote service's first-execute
+    # cost for the same program measured 10.8 s to 1259 s across today's
+    # runs depending on which replica the process landed on — min-of-3
+    # tames that tail. BENCH_WARM_WORKERS=1 runs single-process.
+    n_workers = int(os.environ.get("BENCH_WARM_WORKERS", "3"))
     if os.environ.get("BENCH_ROLE") == "worker":
         # report through the parent: READY line at warmup, then the JSON
         out = open(os.environ["BENCH_WORKER_OUT"], "w", buffering=1)

@@ -65,7 +65,8 @@ class FusedState(NamedTuple):
     step: jnp.ndarray  # i32 — sampling step
     n_tokens: jnp.ndarray  # i32 — current sequence length
     tokens: jnp.ndarray  # (B, 448) i32, B = n_audio*n_group, audio-major
-    cache: jnp.ndarray  # (L, 2, B, 448, d)
+    cache: object  # (L, 2, B, n_cache, d) array, or per-layer tuple of
+    # (2, B, n_cache, d) for unrolled decoders (L <= 8)
     src: jnp.ndarray  # (B,) i32 — pending beam reorder (global rows)
     sum_logprobs: jnp.ndarray  # (B,) f32
     completed: jnp.ndarray  # bool — all audios done
@@ -365,11 +366,26 @@ def fused_decode(
         dec_params, prefill_tokens, sample_begin, ck, cv, n_head=n_head
     )
     n_cache = min(n_ctx, cfg.last_window)
-    cache = jnp.zeros((L, 2, B, n_cache, d), dtype=cache_dtype)
     kv_b = jnp.repeat(kv.astype(cache_dtype), G, axis=2)  # (L, 2, B, P, d)
-    cache = jax.lax.dynamic_update_slice(
-        cache, kv_b[:, :, :, : min(kv_b.shape[3], n_cache)], (0, 0, 0, 0, 0)
-    )
+    kv_b = kv_b[:, :, :, : min(kv_b.shape[3], n_cache)]
+    if L <= 8:
+        # per-layer cache tuple: indexing a stacked (L, ...) carry per layer
+        # re-materialized 13 MB/step inside the decode loop (see
+        # graphs.decode_step); per-layer carries are free to index
+        cache = tuple(
+            jax.lax.dynamic_update_slice(
+                jnp.zeros((2, B, n_cache, d), dtype=cache_dtype),
+                kv_b[l],
+                (0, 0, 0, 0),
+            )
+            for l in range(L)
+        )
+    else:
+        cache = jax.lax.dynamic_update_slice(
+            jnp.zeros((L, 2, B, n_cache, d), dtype=cache_dtype),
+            kv_b,
+            (0, 0, 0, 0, 0),
+        )
 
     last_hidden = hidden[:, sample_begin - 1]  # (A, d)
     sot_hidden = hidden[:, sot_index]

@@ -37,21 +37,25 @@ CACHE_SLOTS = 448  # n_text_ctx; fixed self-attention cache length
 PREFILL_LEN = 256  # max first-pass token length (224 prompt + 3 sot + margin)
 
 
-def _slot_write(cache, new_kv, pos):
-    """Write this step's (L, 2, B, 1, d) K/V into slot `pos` of the cache.
+def _slot_write(cache, new_kv, pos, axis=3):
+    """Write this step's new K/V row into slot `pos` (dim `axis`) of a cache.
 
     XLA lays the loop-carried cache out with the SLOT dim as the lane
     (minormost) dimension — the attention einsums want slots in lanes — so a
     dynamic_update_slice of one slot is a masked rewrite of every (8, 128)
     tile in the cache: profiled at 315 us/step on turbo beam-5 (13 MB at an
-    effective 85 GB/s), the single most expensive op of the decode step. A
+    effective 1.8 GB/s), the single most expensive op of the decode step. A
     dense one-hot select writes the same bytes but vectorizes cleanly in
     that layout. WHISPER_TPU_SLOT_WRITE=dus restores the old path for A/B.
     """
     if os.environ.get("WHISPER_TPU_SLOT_WRITE") == "dus":
-        return jax.lax.dynamic_update_slice(cache, new_kv, (0, 0, 0, pos, 0))
-    W = cache.shape[3]
-    hit = (jnp.arange(W) == pos)[None, None, None, :, None]
+        idx = [jnp.int32(0)] * cache.ndim
+        idx[axis] = pos
+        return jax.lax.dynamic_update_slice(cache, new_kv, tuple(idx))
+    W = cache.shape[axis]
+    shape = [1] * cache.ndim
+    shape[axis] = W
+    hit = (jnp.arange(W) == pos).reshape(shape)
     return jnp.where(hit, new_kv, cache)
 
 
@@ -480,14 +484,26 @@ def decode_step(
     beam = tokens.shape[0]
     d = dec["tok_emb"].shape[1]
     dh = d // n_head
-    L, _, _, C, _ = cache.shape
+    # the cache may also be a PER-LAYER tuple of (2, B, C, d) arrays (the
+    # fused engine's carry for unrolled decoders): indexing a stacked
+    # loop-carried (L, ...) cache per layer materialized a 13 MB copy chain
+    # per step (55 us on turbo beam-5) that per-layer carries avoid
+    tuple_cache = isinstance(cache, (list, tuple))
+    if tuple_cache:
+        L, C = len(cache), cache[0].shape[2]
+    else:
+        L, _, _, C, _ = cache.shape
     W = C if window is None else window
 
     full_cache = cache
     if W != C:
-        cache = jax.lax.slice(
-            cache, (0, 0, 0, 0, 0), (L, 2, beam, W, d)
-        )  # static prefix slab
+        # static prefix slab
+        if tuple_cache:
+            cache = tuple(
+                jax.lax.slice(c, (0, 0, 0, 0), (2, beam, W, d)) for c in cache
+            )
+        else:
+            cache = jax.lax.slice(cache, (0, 0, 0, 0, 0), (L, 2, beam, W, d))
 
     # row_map (B, W): lazy beam reorder — cache rows never move; each logical
     # beam's history is gathered at the attention read via per-position row
@@ -496,7 +512,10 @@ def decode_step(
     # at large-v3 batch 40; the read-time gather probe was 38% cheaper).
     if row_map is None and reorder:
         # eager reorder (host loop / compatibility): greedy never permutes
-        cache = jnp.take(cache, src, axis=2)
+        if tuple_cache:
+            cache = tuple(jnp.take(c, src, axis=1) for c in cache)
+        else:
+            cache = jnp.take(cache, src, axis=2)
 
     x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
@@ -602,30 +621,52 @@ def decode_step(
     # matrices (~68 us/step of pure copy on turbo beam-5, HLO-verified).
     # Static tree indexing gives XLA loop-invariant weight operands it feeds
     # to the matmuls directly.
-    if presliced or L <= 8:
+    if presliced or tuple_cache or L <= 8:
         new_slots = []
         for l in range(L):
             blk_l = blocks[l] if presliced else jax.tree.map(lambda a: a[l], blocks)
-            ck_l = ck[l]
-            cv_l = cv[l]
-            x, kv_l = block(x, (blk_l, cache[l], ck_l, cv_l))
-            new_slots.append(kv_l)
-        new_kv = jnp.stack(new_slots)
+            x, kv_l = block(x, (blk_l, cache[l], ck[l], cv[l]))
+            new_slots.append(kv_l)  # each (2, beam, d)
+        new_kv = None if tuple_cache else jnp.stack(new_slots)
     else:
         x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))
-    new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
-    if row_map is not None:
-        # lazy reorder: rows never move — only the new slot lands in the cache
-        cache = _slot_write(full_cache, new_kv, pos)
-    elif W != C and reorder:
-        # write the reordered slab (with the new slot) back into the full cache
-        cache = _slot_write(cache, new_kv, pos)
-        cache = jax.lax.dynamic_update_slice(full_cache, cache, (0, 0, 0, 0, 0))
-    elif W != C:
-        # greedy: slab untouched — only the new slot lands in the full cache
-        cache = _slot_write(full_cache, new_kv, pos)
+
+    if tuple_cache:
+        # per-layer writes into the per-layer carried caches (no re-stack)
+        slots = [kv_l[:, :, None, :] for kv_l in new_slots]  # (2, beam, 1, d)
+        if row_map is not None or (W != C and not reorder):
+            cache = tuple(
+                _slot_write(full_cache[l], slots[l], pos, axis=2) for l in range(L)
+            )
+        elif W != C:  # reordered slab write-back
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    full_cache[l],
+                    _slot_write(cache[l], slots[l], pos, axis=2),
+                    (0, 0, 0, 0),
+                )
+                for l in range(L)
+            )
+        else:
+            cache = tuple(
+                _slot_write(cache[l], slots[l], pos, axis=2) for l in range(L)
+            )
     else:
-        cache = _slot_write(cache, new_kv, pos)
+        new_kv = new_kv[:, :, :, None, :]  # (L, 2, B, 1, d)
+        if row_map is not None:
+            # lazy reorder: rows never move — only the new slot lands in cache
+            cache = _slot_write(full_cache, new_kv, pos)
+        elif W != C and reorder:
+            # write the reordered slab (incl. new slot) back into the full cache
+            cache = _slot_write(cache, new_kv, pos)
+            cache = jax.lax.dynamic_update_slice(
+                full_cache, cache, (0, 0, 0, 0, 0)
+            )
+        elif W != C:
+            # greedy: slab untouched — only the new slot lands in the full cache
+            cache = _slot_write(full_cache, new_kv, pos)
+        else:
+            cache = _slot_write(cache, new_kv, pos)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     logits = hidden_to_logits(dec, x[:, 0])
     return logits, cache
