@@ -46,6 +46,32 @@ def test_transcribe_text_is_segment_concat(transcripts):
     assert res["text"] == "".join(s["text"] for s in res["segments"])
 
 
+def test_long_form_multiwindow_parity(reference_model, tpu_model, jfk_audio):
+    """Seek-loop parity on real speech spanning three 30 s windows
+    (jfk.flac x6 = 66 s): window boundaries, previous-text conditioning, and
+    per-window timestamp offsets must match the reference transcribe loop
+    (/root/reference/whisper/transcribe.py seek rules)."""
+    long_audio = np.tile(jfk_audio, 6)
+    res_ref = reference_model.transcribe(
+        torch.from_numpy(long_audio),
+        language="en",
+        temperature=0.0,
+        verbose=None,
+        fp16=False,
+    )
+    res_mine = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None
+    )
+    assert res_mine["text"] == res_ref["text"]
+    assert len(res_mine["segments"]) == len(res_ref["segments"])
+    for rs, ms in zip(res_ref["segments"], res_mine["segments"]):
+        assert ms["tokens"] == rs["tokens"]
+        assert abs(ms["start"] - rs["start"]) < 1e-6
+        assert abs(ms["end"] - rs["end"]) < 1e-6
+    # the clip genuinely spans multiple seek windows
+    assert res_mine["segments"][-1]["end"] > 30.0
+
+
 def test_word_timestamps_parity(reference_model, tpu_model, jfk_audio):
     res_ref = reference_model.transcribe(
         torch.from_numpy(jfk_audio),
