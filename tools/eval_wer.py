@@ -55,7 +55,24 @@ def main():
     ap.add_argument("--limit", type=int, help="evaluate at most N utterances")
     ap.add_argument("--model", default="tiny.en")
     ap.add_argument("--language", default="en")
+    ap.add_argument(
+        "--dtype",
+        default="bfloat16",
+        help="compute dtype for the model (bfloat16 for TPU, float32 to "
+        "match CPU-reference transcripts exactly)",
+    )
+    ap.add_argument(
+        "--temperature",
+        help="decode temperature(s), comma-separated (e.g. '0' to disable "
+        "the fallback ladder for deterministic runs); default: the "
+        "standard 0..1.0 ladder",
+    )
     args = ap.parse_args()
+
+    transcribe_kw = {}
+    if args.temperature is not None:
+        temps = tuple(float(t) for t in args.temperature.split(","))
+        transcribe_kw["temperature"] = temps[0] if len(temps) == 1 else temps
 
     from whisper_tpu.normalizers import BasicTextNormalizer, EnglishTextNormalizer
 
@@ -89,16 +106,18 @@ def main():
             ap.error(f"no LibriSpeech utterances found under {args.librispeech}")
         print(f"evaluating {len(items)} utterances with {args.model}", file=sys.stderr)
 
-        model = whisper_tpu.load_model(args.model)
+        model = whisper_tpu.load_model(args.model, compute_dtype=args.dtype)
         for i, (audio, ref) in enumerate(items):
-            result = model.transcribe(audio, language=args.language, verbose=None)
+            result = model.transcribe(
+                audio, language=args.language, verbose=None, **transcribe_kw
+            )
             pairs.append((ref, result["text"]))
             if (i + 1) % 50 == 0:
                 print(f"  {i + 1}/{len(items)}", file=sys.stderr)
     elif args.ref_dir and args.audio_dir:
         import whisper_tpu
 
-        model = whisper_tpu.load_model(args.model)
+        model = whisper_tpu.load_model(args.model, compute_dtype=args.dtype)
         for fname in sorted(os.listdir(args.ref_dir)):
             if not fname.endswith(".txt"):
                 continue
@@ -114,10 +133,12 @@ def main():
             if audio is None:
                 print(f"skipping {stem}: no matching audio", file=sys.stderr)
                 continue
-            result = model.transcribe(audio, language=args.language, verbose=None)
+            result = model.transcribe(
+                audio, language=args.language, verbose=None, **transcribe_kw
+            )
             pairs.append((open(os.path.join(args.ref_dir, fname)).read(), result["text"]))
     else:
-        ap.error("provide --ref/--hyp or --ref-dir/--audio-dir")
+        ap.error("provide --ref/--hyp, --ref-dir/--audio-dir, or --librispeech")
 
     total_err, total_words = 0.0, 0
     for ref, hyp in pairs:
