@@ -101,6 +101,66 @@ def test_beam_cache_reorder(tpu_model, xa_pair):
     assert np.allclose(np.asarray(l2), np.asarray(l2b), atol=1e-5)
 
 
+def test_multi_audio_grouped_attention_parity(tpu_model, tiny_dims):
+    """The blocked (A, G) grouped self-attention read used on the multi-audio
+    stacked-cache decode path (graphs.decode_step, row_map one-hot within
+    per-audio blocks) must match the dense all-pairs one-hot form, which the
+    per-layer tuple cache still exercises. Covers both the full-cache and the
+    bucketed-window slab variants."""
+    from whisper_tpu.models import graphs
+
+    rng = np.random.RandomState(7)
+    dec = tpu_model.params["decoder"]
+    L, d, H = tiny_dims.n_text_layer, tiny_dims.n_text_state, tiny_dims.n_text_head
+    A, G = 2, 3
+    B = A * G
+    C, pos, T = 16, 9, 24
+    cache = (rng.randn(L, 2, B, C, d) * 0.3).astype(np.float32)
+    cache[:, :, :, pos:, :] = 0.0
+    ck = (rng.randn(L, A, H, d // H, T) * 0.3).astype(np.float32)
+    cv = (rng.randn(L, A, H, d // H, T) * 0.3).astype(np.float32)
+    tokens = np.arange(5, 5 + B, dtype=np.int32)
+    src = np.arange(B, dtype=np.int32)
+    # block-diagonal row_map: each beam reads history rows only from its own
+    # audio's group (the invariant the fused engine maintains)
+    row_map = np.tile(np.arange(B, dtype=np.int32)[:, None], (1, C))
+    for b in range(B):
+        row_map[b, :pos] = (b // G) * G + rng.randint(0, G, size=pos)
+
+    for window in (None, 12):
+        W = C if window is None else window
+        kw = dict(
+            n_head=H,
+            reorder=False,
+            window=window,
+            row_map=jnp.asarray(row_map[:, :W]),
+        )
+        logits_g, cache_g = graphs.decode_step(
+            dec,
+            jnp.asarray(tokens),
+            jnp.int32(pos),
+            jnp.asarray(cache),
+            jnp.asarray(src),
+            jnp.asarray(ck),
+            jnp.asarray(cv),
+            **kw,
+        )
+        cache_t = tuple(jnp.asarray(cache[l]) for l in range(L))
+        logits_d, cache_d = graphs.decode_step(
+            dec,
+            jnp.asarray(tokens),
+            jnp.int32(pos),
+            cache_t,
+            jnp.asarray(src),
+            jnp.asarray(ck),
+            jnp.asarray(cv),
+            **kw,
+        )
+        assert np.allclose(np.asarray(logits_g), np.asarray(logits_d), atol=1e-5)
+        cd = np.stack([np.asarray(c) for c in cache_d])
+        assert np.allclose(np.asarray(cache_g), cd, atol=1e-6)
+
+
 def test_bfloat16_mode_consistency(synth_checkpoint):
     """bf16 graphs run and broadly agree with f32 (top-1 on clear logits)."""
     import whisper_tpu

@@ -543,7 +543,47 @@ def decode_step(
         k_cache, v_cache = cache_l[0], cache_l[1]  # (beam, W, d)
         kh_new = _split_heads(k, n_head)  # (beam, H, dh)
         vh_new = _split_heads(v, n_head)
-        if row_map is not None:
+        if row_map is not None and ck_l.shape[0] > 1 and not tuple_cache:
+            # Multi-audio batch: row_map is block-diagonal per audio (a beam
+            # only ever reorders within its own audio's group), so scoring
+            # each query against all B source rows wastes an A-fold factor of
+            # the one-hot blowup below. Regroup the READ path (a free reshape
+            # of the leading dim — no data movement) and contract within the
+            # G-row audio blocks. Gated to the multi-audio stacked path: on the
+            # tuple-cache path the (A, G) regrouping of the cache views broke
+            # XLA's in-place cache update (24 -> 318 us DUS), but here the
+            # slab is already a materialized copy and the slot write targets
+            # the full cache separately. Bit-identical to the dense form:
+            # the dropped terms are exact 0.0 products.
+            A_, Gq = ck_l.shape[0], beam // ck_l.shape[0]
+            qh_g = qh.reshape(A_, Gq, n_head, dh)
+            kh_g = _split_heads(k_cache, n_head).reshape(A_, Gq, W, n_head, dh)
+            vh_g = _split_heads(v_cache, n_head).reshape(A_, Gq, W, n_head, dh)
+            row_local = row_map.reshape(A_, Gq, W) - (
+                jnp.arange(A_, dtype=row_map.dtype) * Gq
+            )[:, None, None]
+            onehot = (
+                row_local[:, :, None, :]
+                == jnp.arange(Gq, dtype=row_map.dtype)[None, None, :, None]
+            )  # (A, G_query, G_source, W) bool
+            s_all = jnp.einsum(
+                "aghd,acwhd->aghcw", qh_g, kh_g, preferred_element_type=jnp.float32
+            )  # (A, G, H, G_src, W)
+            scores = (
+                jnp.einsum("aghcw,agcw->aghw", s_all, onehot.astype(jnp.float32))
+                + kmask[None]
+            )
+            score_new = jnp.einsum(
+                "bhd,bhd->bh", qh, kh_new, preferred_element_type=jnp.float32
+            ).reshape(A_, Gq, n_head)
+            full = jnp.concatenate([scores, score_new[..., None]], axis=3)
+            w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (A, G, H, W+1)
+            p2 = jnp.einsum("aghw,agcw->aghcw", w[..., :-1], onehot.astype(dtype))
+            wv = jnp.einsum("aghcw,acwhd->aghd", p2, vh_g).reshape(beam, n_head, dh)
+            wv = (wv + w[..., -1].reshape(beam, n_head)[..., None] * vh_new).reshape(
+                beam, 1, d
+            )
+        elif row_map is not None:
             # Lazy beam reorder WITHOUT a gather: score each query beam
             # against ALL B source rows — a B-fold blowup of a tiny MXU
             # contraction — and collapse with the one-hot row mask derived
