@@ -239,6 +239,11 @@ def main():
         # first full clip with everything compiled (helper-graph residue)
         "warm_clip_s": round(warm - t_frontend_ready, 1),
     }
+    # time spent before this function's t0 (imports, model build, param init)
+    # as seen from the hedge parent's spawn timestamp, if provided
+    spawn_ts = os.environ.get("BENCH_SPAWN_TS")
+    if spawn_ts is not None:
+        warmup_breakdown["pre_warmup_s"] = round(time.time() - float(spawn_ts) - warm, 1)
     log(f"warmup done in {warm:.1f}s {warmup_breakdown}")
     _READY_HOOK[0](warm)
 
@@ -290,6 +295,7 @@ def main_hedged(n_workers: int):
         env = dict(os.environ)
         env["BENCH_ROLE"] = "worker"
         env["BENCH_WORKER_OUT"] = out_path
+        env["BENCH_SPAWN_TS"] = repr(time.time())
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
             env=env,
@@ -345,11 +351,13 @@ def main_hedged(n_workers: int):
 
 
 if __name__ == "__main__":
-    # default to a 3-way hedged warmup: the remote service's first-execute
-    # cost for the same program measured 10.8 s to 1259 s across today's
-    # runs depending on which replica the process landed on — min-of-3
-    # tames that tail. BENCH_WARM_WORKERS=1 runs single-process.
-    n_workers = int(os.environ.get("BENCH_WARM_WORKERS", "3"))
+    # default to a 5-way hedged warmup: the remote service's first-execute
+    # cost for the same program measured 10.8 s to 1259 s across measured
+    # runs depending on which replica the process landed on — min-of-N
+    # tames that tail. Measured warmup_s: 134 s at N=3, 74.7/28.6 s at N=5
+    # (the extra draws raise pre-warmup contention ~10 s but cut the
+    # min draw far more). BENCH_WARM_WORKERS=1 runs single-process.
+    n_workers = int(os.environ.get("BENCH_WARM_WORKERS", "5"))
     if os.environ.get("BENCH_ROLE") == "worker":
         # report through the parent: READY line at warmup, then the JSON
         out = open(os.environ["BENCH_WORKER_OUT"], "w", buffering=1)
