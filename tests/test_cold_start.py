@@ -37,7 +37,6 @@ import numpy as np
 import jax.numpy as jnp
 from functools import partial
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from whisper_tpu.engine_fused import FusedConfig, fused_decode
 from whisper_tpu.models import graphs
 from whisper_tpu.models.dims import ModelDimensions
@@ -81,11 +80,15 @@ def test_persistent_cache_cold_start(tmp_path):
     with open(script, "w") as f:
         f.write(_CHILD)
 
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
     def run():
+        env = dict(os.environ)
+        env["PYTHONPATH"] = repo_root + os.pathsep + env.get("PYTHONPATH", "")
         out = subprocess.run(
             [sys.executable, script, cache_dir],
             capture_output=True, text=True, timeout=600,
-            cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            cwd=repo_root, env=env,
         )
         assert out.returncode == 0, out.stderr[-2000:]
         return json.loads(out.stdout.strip().splitlines()[-1])
