@@ -295,6 +295,7 @@ def main_hedged(n_workers: int):
         env = dict(os.environ)
         env["BENCH_ROLE"] = "worker"
         env["BENCH_WORKER_OUT"] = out_path
+        env["BENCH_GO_FILE"] = os.path.join(tmpdir, f"worker{i}.go")
         env["BENCH_SPAWN_TS"] = repr(time.time())
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
@@ -325,21 +326,28 @@ def main_hedged(n_workers: int):
             if p.poll() is not None and not ls:
                 raise RuntimeError(f"bench worker {i} died before warmup")
 
+    # Terminate the losers BEFORE the winner runs its timed trials: their
+    # in-flight multi-minute server-side compiles load the shared service
+    # enough to visibly inflate the winner's measured p50 (a 1.9 MB upload
+    # measured 43 ms on a quiet service vs 136 ms under load). The winner
+    # blocks on its GO file after READY, so the trials only start once the
+    # losers are gone and the service has had a moment to settle.
+    worker_warmups = []
+    for i, (p, path) in enumerate(workers):
+        ls = lines(path)
+        worker_warmups.append(float(ls[0].split()[1]) if ls else None)
+        if i != winner and p.poll() is None:
+            p.send_signal(signal.SIGTERM)
+    time.sleep(2.0)
+    with open(os.path.join(tmpdir, f"worker{winner}.go"), "w"):
+        pass
+
     p, path = workers[winner]
     while len(lines(path)) < 2:
         if p.poll() is not None and len(lines(path)) < 2:
             raise RuntimeError(f"bench worker {winner} died before reporting")
         time.sleep(0.5)
     result = json.loads(lines(path)[1])
-
-    worker_warmups = []
-    for i, (p, path) in enumerate(workers):
-        ls = lines(path)
-        worker_warmups.append(float(ls[0].split()[1]) if ls else None)
-        if i != winner and p.poll() is None:
-            # losers still hold multi-minute server-side compiles; there is
-            # nothing left for them to contribute
-            p.send_signal(signal.SIGTERM)
 
     result["warmup_s"] = round(warmup_s, 1)
     result["hedge"] = {
@@ -361,8 +369,19 @@ if __name__ == "__main__":
     if os.environ.get("BENCH_ROLE") == "worker":
         # report through the parent: READY line at warmup, then the JSON
         out = open(os.environ["BENCH_WORKER_OUT"], "w", buffering=1)
-        # main() writes READY via this hook right after its warmup completes
-        _READY_HOOK[0] = lambda warm: out.write(f"READY {warm:.1f}\n")
+
+        # main() calls this hook right after its warmup completes and before
+        # its timed trials; blocking here until the parent's GO keeps loser
+        # workers' service load out of the winner's measurement window
+        def _ready(warm):
+            out.write(f"READY {warm:.1f}\n")
+            go = os.environ.get("BENCH_GO_FILE")
+            if go:
+                t0 = time.time()
+                while not os.path.exists(go) and time.time() - t0 < 120:
+                    time.sleep(0.1)
+
+        _READY_HOOK[0] = _ready
         res = main()
         out.write(json.dumps(res) + "\n")
         out.close()
