@@ -117,14 +117,27 @@ def init_random_params(dims: ModelDimensions, seed: int = 0) -> Dict:
 
 
 def init_random_params_device(dims: ModelDimensions, seed: int = 0, dtype="bfloat16") -> Dict:
-    """Random parameters generated ON DEVICE inside one jit, avoiding the
+    """Synthetic parameters generated ON DEVICE inside one jit, avoiding the
     multi-GB host->device weight transfer host-side init would need (the TPU
     here sits behind a network tunnel). Used by benchmarks and compile checks
-    at turbo/large scale."""
+    at turbo/large scale.
+
+    Default fill is a deterministic chirp (sin over iota at an irrational
+    stride, zero-mean, amplitude 0.02): statistically arbitrary exactly like
+    the old per-tensor threefry normals — TPU op timing is data-independent,
+    so the benchmarks cannot tell the difference — but it compiles to ~5 ops
+    per tensor instead of a full counter-RNG subgraph. That matters because
+    the remote TPU service compiles every program server-side on its first
+    execution: the threefry init program for turbo (7.4 MB of StableHLO) cost
+    each fresh bench worker ~90 s of server compile before warmup could even
+    start. WHISPER_TPU_INIT=rng restores true threefry normals."""
+    import os
+
     import jax
     import jax.numpy as jnp
 
     dtype = jnp.dtype(dtype)
+    use_rng = os.environ.get("WHISPER_TPU_INIT") == "rng"
 
     @jax.jit
     def build():
@@ -133,8 +146,21 @@ def init_random_params_device(dims: ModelDimensions, seed: int = 0, dtype="bfloa
 
         def w(*shape):
             counter[0] += 1
-            k = jax.random.fold_in(key, counter[0])
-            return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(dtype)
+            if use_rng:
+                k = jax.random.fold_in(key, counter[0])
+                return (jax.random.normal(k, shape, dtype=jnp.float32) * 0.02).astype(
+                    dtype
+                )
+            size = 1
+            for s in shape:
+                size *= s
+            i = jnp.arange(size, dtype=jnp.float32)
+            # golden-angle chirp: decorrelated across tensors via the seed-
+            # and counter-dependent phase/stride, bounded in [-0.02, 0.02]
+            stride = 0.7548776662466927 + 1e-3 * (counter[0] % 97)
+            phase = 2.3999632297286533 * (counter[0] + 1) + float(seed)
+            vals = jnp.sin(i * stride + phase) * 0.02
+            return vals.reshape(shape).astype(dtype)
 
         def zeros(*shape):
             return jnp.zeros(shape, dtype=dtype)
