@@ -649,9 +649,17 @@ def fused_decode(
 class FusedEngine:
     """Caches one jitted fused_decode per (n_group, mode) for a model."""
 
-    def __init__(self, model):
+    def __init__(self, model, weights: str = ""):
+        import os
+
         self.model = model
         self._jitted = {}
+        # weight-only int8 decode (whisper_tpu/quant.py): halves the HBM
+        # weight reads the bandwidth-bound decode step pays for. Opt-in
+        # (near-lossless but not token-parity-guaranteed vs bf16):
+        # FusedEngine(model, weights="int8") or WHISPER_TPU_WEIGHTS=int8.
+        self._weights_mode = weights or os.environ.get("WHISPER_TPU_WEIGHTS", "")
+        self._dec_params = None
         # device-resident suppress/blank masks keyed by the id tuples: the
         # masks are identical for every window of a transcription, and each
         # host->device put is a round trip on remote-PJRT backends
@@ -672,6 +680,24 @@ class FusedEngine:
         if key not in self._scalar_cache:
             self._scalar_cache[key] = jnp.asarray(value, dtype=dtype)
         return self._scalar_cache[key]
+
+    def _decoder_params(self):
+        """The decoder tree the fused program consumes: the model's bf16
+        params, or (weights='int8') a one-time-quantized copy whose step-loop
+        weights are int8 with '@scale' siblings (the bf16 originals stay on
+        the model for the fidelity/timing paths)."""
+        if self._dec_params is None:
+            dec = self.model.params["decoder"]
+            if self._weights_mode == "int8":
+                from .quant import quantize_decoder
+
+                dec = quantize_decoder(dec)
+            elif self._weights_mode not in ("", "bf16", "bfloat16"):
+                raise ValueError(
+                    f"unknown weights mode {self._weights_mode!r} (expected 'int8')"
+                )
+            self._dec_params = dec
+        return self._dec_params
 
     def _jit_options(self, cfg: FusedConfig) -> dict:
         """Extra jax.jit kwargs (e.g. in_shardings); subclass hook so the
@@ -794,7 +820,7 @@ class FusedEngine:
 
         with profiling.timed("fused_decode"):
             out = fn(
-                self.model.params["decoder"],
+                self._decoder_params(),
                 jnp.asarray(toks),
                 self._scalar("int32", n_initial),
                 ck,

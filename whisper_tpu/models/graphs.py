@@ -59,6 +59,39 @@ def _slot_write(cache, new_kv, pos, axis=3):
     return jnp.where(hit, new_kv, cache)
 
 
+def _dot(x, blk, name):
+    """x @ blk[name], transparently handling weight-only int8 weights.
+
+    A quantized weight (whisper_tpu/quant.py) is an int8 array with a sibling
+    '<name>@scale' leaf holding one f32 scale per output channel. XLA:TPU
+    fuses the s8->bf16 convert into the dot's weight read — no bf16 copy is
+    materialized, so HBM weight traffic (what the bandwidth-bound decode step
+    pays for) halves. Measured v5e, full turbo decoder weight sweep at beam
+    batch: 1.61x over bf16; a Pallas dequant-in-VMEM kernel gained only ~5%
+    more, so the pure-XLA form wins on simplicity.
+    """
+    w = blk[name]
+    scale = blk.get(name + "@scale")
+    if scale is None:
+        return x @ w
+    y = jnp.dot(
+        x.astype(jnp.bfloat16),
+        w.astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
+    )
+    return (y * scale).astype(x.dtype)
+
+
+def tok_embedding(dec, tokens, dtype):
+    """Token-embedding rows, dequantizing per-row int8 if quantized."""
+    emb = jnp.asarray(dec["tok_emb"])
+    scale = dec.get("tok_emb@scale")
+    rows = emb[tokens]
+    if scale is None:
+        return rows.astype(dtype)
+    return (rows.astype(jnp.float32) * scale[tokens][..., None]).astype(dtype)
+
+
 def layer_norm(x, g, b, eps):
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)
@@ -197,14 +230,14 @@ def cross_kv(dec, xa, *, n_head):
 def _cross_attention(x, blk, ck_l, cv_l, n_head, return_scores=False):
     """x: (B, T, d); ck_l/cv_l: (Bx, H, dh, Tk) with Bx in {1, B} (broadcast)."""
     h = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
-    q = h @ blk["cross_q_w"] + blk["cross_q_b"]
+    q = _dot(h, blk, "cross_q_w") + blk["cross_q_b"]
     dh = q.shape[-1] // n_head
     qh = jnp.transpose(_split_heads(q * (dh**-0.5), n_head), (0, 2, 1, 3))
     scores = jnp.einsum("bhqd,bhdk->bhqk", qh, ck_l, preferred_element_type=jnp.float32)
     w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhqk,bhdk->bqhd", w, cv_l)
     out = out.reshape(*x.shape)
-    attn = out @ blk["cross_o_w"] + blk["cross_o_b"]
+    attn = _dot(out, blk, "cross_o_w") + blk["cross_o_b"]
     if return_scores:
         return attn, scores
     return attn, None
@@ -212,8 +245,8 @@ def _cross_attention(x, blk, ck_l, cv_l, n_head, return_scores=False):
 
 def _mlp(x, blk):
     h = layer_norm(x, blk["mlp_ln_g"], blk["mlp_ln_b"], eps=1e-5)
-    h = _gelu(h @ blk["mlp_fc1_w"] + blk["mlp_fc1_b"])
-    return h @ blk["mlp_fc2_w"] + blk["mlp_fc2_b"]
+    h = _gelu(_dot(h, blk, "mlp_fc1_w") + blk["mlp_fc1_b"])
+    return _dot(h, blk, "mlp_fc2_w") + blk["mlp_fc2_b"]
 
 
 # ---------------------------------------------------------------------------
@@ -234,10 +267,10 @@ def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
     garbage that callers must not read.
     """
     blocks = dec["blocks"]
-    dtype = blocks["attn_q_w"].dtype
+    dtype = blocks["attn_q_b"].dtype  # a bias: cast to compute dtype, never quantized
     B, P = tokens.shape
 
-    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+    x = tok_embedding(dec, tokens, dtype) + dec["pos_emb"][:P].astype(dtype)
 
     causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
     invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
@@ -246,10 +279,10 @@ def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
     def block(x, inputs):
         blk, ck_l, cv_l = inputs
         h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
-        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
-        k = h @ blk["attn_k_w"]
-        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
-        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+        q = _dot(h, blk, "attn_q_w") + blk["attn_q_b"]
+        k = _dot(h, blk, "attn_k_w")
+        v = _dot(h, blk, "attn_v_w") + blk["attn_v_b"]
+        x = x + _dot(_self_attention(q, k, v, mask, n_head), blk, "attn_o_w") + blk["attn_o_b"]
 
         attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
         x = x + attn
@@ -271,12 +304,12 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
     Returns (hidden, kv, align_scores (n_selected, P, 1500) float32).
     """
     blocks = dec["blocks"]
-    dtype = blocks["attn_q_w"].dtype
+    dtype = blocks["attn_q_b"].dtype  # a bias: cast to compute dtype, never quantized
     B, P = tokens.shape
     L = blocks["attn_q_w"].shape[0]
     assert B == 1, "alignment replay runs at batch size 1"
 
-    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:P].astype(dtype)
+    x = tok_embedding(dec, tokens, dtype) + dec["pos_emb"][:P].astype(dtype)
 
     causal = jnp.triu(jnp.full((P, P), -jnp.inf, dtype=jnp.float32), k=1)
     invalid = jnp.where(jnp.arange(P)[None, :] >= n_valid, -jnp.inf, 0.0)
@@ -291,10 +324,10 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
     for l in range(L):
         blk = jax.tree.map(lambda a: a[l], blocks)
         h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
-        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
-        k = h @ blk["attn_k_w"]
-        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
-        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+        q = _dot(h, blk, "attn_q_w") + blk["attn_q_b"]
+        k = _dot(h, blk, "attn_k_w")
+        v = _dot(h, blk, "attn_v_w") + blk["attn_v_b"]
+        x = x + _dot(_self_attention(q, k, v, mask, n_head), blk, "attn_o_w") + blk["attn_o_b"]
 
         need = l in wanted
         attn, scores = _cross_attention(x, blk, ck[l], cv[l], n_head, return_scores=need)
@@ -400,19 +433,19 @@ def decoder_forward(dec, tokens, ck, cv, *, n_head):
     training/fine-tuning forward. tokens: (B, T) int32; ck/cv: (L, B or 1, H, dh,
     Tk, dh). Returns logits (B, T, V) float32."""
     blocks = dec["blocks"]
-    dtype = blocks["attn_q_w"].dtype
+    dtype = blocks["attn_q_b"].dtype  # a bias: cast to compute dtype, never quantized
     B, T = tokens.shape
 
-    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype) + dec["pos_emb"][:T].astype(dtype)
+    x = tok_embedding(dec, tokens, dtype) + dec["pos_emb"][:T].astype(dtype)
     mask = jnp.triu(jnp.full((T, T), -jnp.inf, dtype=jnp.float32), k=1)[None, None]
 
     def block(x, inputs):
         blk, ck_l, cv_l = inputs
         h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
-        q = h @ blk["attn_q_w"] + blk["attn_q_b"]
-        k = h @ blk["attn_k_w"]
-        v = h @ blk["attn_v_w"] + blk["attn_v_b"]
-        x = x + _self_attention(q, k, v, mask, n_head) @ blk["attn_o_w"] + blk["attn_o_b"]
+        q = _dot(h, blk, "attn_q_w") + blk["attn_q_b"]
+        k = _dot(h, blk, "attn_k_w")
+        v = _dot(h, blk, "attn_v_w") + blk["attn_v_b"]
+        x = x + _dot(_self_attention(q, k, v, mask, n_head), blk, "attn_o_w") + blk["attn_o_b"]
         attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
         x = x + attn
         x = x + _mlp(x, blk)
@@ -424,10 +457,23 @@ def decoder_forward(dec, tokens, ck, cv, *, n_head):
 
 
 def hidden_to_logits(dec, hidden):
-    """hidden (..., d) -> logits (..., n_vocab) in float32."""
-    return jnp.einsum(
-        "...d,vd->...v", hidden, dec["tok_emb"], preferred_element_type=jnp.float32
+    """hidden (..., d) -> logits (..., n_vocab) in float32.
+
+    With a weight-only int8 embedding (quant.py) the (V, d) read — the
+    single largest weight tensor of the decode step (133 MB bf16 for turbo)
+    — halves; the per-vocab-row scale multiplies the f32 logits."""
+    scale = dec.get("tok_emb@scale")
+    if scale is None:
+        return jnp.einsum(
+            "...d,vd->...v", hidden, dec["tok_emb"], preferred_element_type=jnp.float32
+        )
+    logits = jnp.einsum(
+        "...d,vd->...v",
+        hidden.astype(jnp.bfloat16),
+        dec["tok_emb"].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32,
     )
+    return logits * scale
 
 
 # ---------------------------------------------------------------------------
@@ -480,7 +526,7 @@ def decode_step(
     # cross-K/V slices inside the loop body (~76 us/step of pure copy on
     # turbo beam-5, HLO-verified) — slicing outside the loop hoists them.
     presliced = isinstance(blocks, (list, tuple))
-    dtype = (blocks[0] if presliced else blocks)["attn_q_w"].dtype
+    dtype = (blocks[0] if presliced else blocks)["attn_q_b"].dtype  # bias: never quantized
     beam = tokens.shape[0]
     d = dec["tok_emb"].shape[1]
     dh = d // n_head
@@ -517,7 +563,7 @@ def decode_step(
         else:
             cache = jnp.take(cache, src, axis=2)
 
-    x = jnp.asarray(dec["tok_emb"])[tokens].astype(dtype)[:, None, :]  # (beam, 1, d)
+    x = tok_embedding(dec, tokens, dtype)[:, None, :]  # (beam, 1, d)
     x = x + jax.lax.dynamic_slice_in_dim(dec["pos_emb"], pos, 1, axis=0).astype(dtype)
 
     # cached slots strictly before `pos` are valid; the fresh token's K/V is
@@ -535,9 +581,9 @@ def decode_step(
     def block(x, inputs):
         blk, cache_l, ck_l, cv_l = inputs
         h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
-        q = (h @ blk["attn_q_w"] + blk["attn_q_b"])[:, 0]  # (beam, d)
-        k = (h @ blk["attn_k_w"])[:, 0]
-        v = (h @ blk["attn_v_w"] + blk["attn_v_b"])[:, 0]
+        q = (_dot(h, blk, "attn_q_w") + blk["attn_q_b"])[:, 0]  # (beam, d)
+        k = _dot(h, blk, "attn_k_w")[:, 0]
+        v = (_dot(h, blk, "attn_v_w") + blk["attn_v_b"])[:, 0]
 
         qh = _split_heads(q * (dh**-0.5), n_head)  # (beam, H, dh)
         k_cache, v_cache = cache_l[0], cache_l[1]  # (beam, W, d)
@@ -635,12 +681,12 @@ def decode_step(
             w = jax.nn.softmax(full, axis=-1).astype(dtype)  # (beam, H, C+1)
             wv = jnp.einsum("bhk,bkhd->bhd", w[:, :, :-1], vh)
             wv = (wv + w[:, :, -1, None] * vh_new).reshape(beam, 1, d)
-        x = x + wv @ blk["attn_o_w"] + blk["attn_o_b"]
+        x = x + _dot(wv, blk, "attn_o_w") + blk["attn_o_b"]
 
         # cross attention grouped by audio: ck_l/cv_l are (Bc, H, dh, T) with
         # group = beam // Bc query rows sharing each audio's K/V
         hc = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
-        qc = (hc @ blk["cross_q_w"] + blk["cross_q_b"])[:, 0]  # (beam, d)
+        qc = (_dot(hc, blk, "cross_q_w") + blk["cross_q_b"])[:, 0]  # (beam, d)
         Bc = ck_l.shape[0]
         group = beam // Bc
         qc = (qc * (dh**-0.5)).reshape(Bc, group, n_head, dh)
@@ -649,7 +695,7 @@ def decode_step(
         )
         cw = jax.nn.softmax(cscores, axis=-1).astype(dtype)
         cwv = jnp.einsum("bghk,bhdk->bghd", cw, cv_l).reshape(beam, 1, d)
-        x = x + cwv @ blk["cross_o_w"] + blk["cross_o_b"]
+        x = x + _dot(cwv, blk, "cross_o_w") + blk["cross_o_b"]
 
         x = x + _mlp(x, blk)
         return x, jnp.stack([k, v])  # (2, beam, d) — this layer's new slot

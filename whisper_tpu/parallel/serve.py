@@ -44,7 +44,9 @@ class DataParallelEngine(FusedEngine):
         mesh = self.mesh
         dp = mesh.shape.get("dp", 1)
         assert cfg.n_audio % dp == 0, f"n_audio={cfg.n_audio} not divisible by dp={dp}"
-        dec_sharding = param_shardings(self.model.params["decoder"], mesh)
+        # _decoder_params() so the sharding tree matches the arg tree when
+        # the engine runs with weight-only int8 decode (extra @scale leaves)
+        dec_sharding = param_shardings(self._decoder_params(), mesh)
         repl = NamedSharding(mesh, P())
         in_shardings = (
             dec_sharding,

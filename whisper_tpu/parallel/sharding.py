@@ -49,6 +49,14 @@ def param_shardings(params: Dict, mesh: Mesh) -> Dict:
 
     def spec_for(path: str, leaf) -> NamedSharding:
         name = path.rsplit("/", 1)[-1]
+        if name.endswith("@scale"):
+            # int8 weight-only scale (quant.py): (L, N) per-output-channel —
+            # shard like the weight's output axis (replicated for the
+            # row-parallel o/fc2 weights, whose output axis is unsharded)
+            base = _BLOCK_RULES.get(name[: -len("@scale")])
+            if base is not None and mesh.shape.get("tp", 1) > 1:
+                return NamedSharding(mesh, P(base[0], base[2]))
+            return NamedSharding(mesh, P())
         spec = _BLOCK_RULES.get(name)
         if spec is None or mesh.shape.get("tp", 1) == 1:
             spec = P()  # replicated (embeddings, LNs, convs)
