@@ -79,6 +79,10 @@ TOKENS_PER_WINDOW = 96
 _READY_HOOK = [lambda warm: None]
 BEAM = int(os.environ.get("BENCH_BEAM", "5"))  # 1 -> greedy decode
 WORD_TS = os.environ.get("BENCH_WORD_TS") == "1"  # add per-window DTW word alignment
+# "int8" -> weight-only int8 decode (quant.py). The headline stays bf16:
+# the reference baseline runs fp16 ANE weights, so bf16 is the comparable
+# precision; int8 is the opt-in serving mode.
+WEIGHTS = os.environ.get("BENCH_WEIGHTS", "")
 BASELINE_RTF = 60.0 / 7.2  # reference: 7.2 s per 60 s clip (README.md:27)
 
 
@@ -104,7 +108,7 @@ def main():
     model_name = os.environ.get("BENCH_MODEL", "turbo")
     dims = MODEL_DIMS[model_name]
     model = Whisper(dims, params=None, name=model_name, compute_dtype="bfloat16")
-    engine = FusedEngine(model)
+    engine = FusedEngine(model, weights=WEIGHTS)
     tok = get_tokenizer(True, language="en", task="transcribe")
 
     audio = synth_audio(CLIP_SECONDS)
@@ -254,7 +258,10 @@ def main():
     rtf = CLIP_SECONDS / p50
 
     result = {
-        "metric": f"RTFx_{model_name}_bs{BEAM}{'_wts' if WORD_TS else ''}_60s_clip",
+        "metric": (
+            f"RTFx_{model_name}_bs{BEAM}"
+            f"{'_wts' if WORD_TS else ''}{'_i8' if WEIGHTS == 'int8' else ''}_60s_clip"
+        ),
         "value": round(rtf, 2),
         "unit": "x_realtime_per_chip",
         "vs_baseline": round(rtf / BASELINE_RTF, 2),
