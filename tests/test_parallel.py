@@ -79,3 +79,39 @@ def test_dp_engine_rejects_bad_batch(tpu_model, mesh8):
     )  # fmt: skip
     with pytest.raises(AssertionError, match="divisible"):
         eng._get(cfg)
+
+
+def test_dp_engine_int8_matches_single_device_int8(tpu_model, mesh8):
+    """Weight-only int8 decode under GSPMD: the sharded engine must produce
+    the exact tokens of the single-device int8 engine (same program
+    semantics; the '@scale' leaves ride the sharding tree — serve.py builds
+    in_shardings from the quantized tree)."""
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.parallel.serve import DataParallelEngine
+
+    A = 4
+    L, H = tpu_model.dims.n_text_layer, tpu_model.dims.n_text_head
+    dh = tpu_model.dims.n_text_state // H
+    rng = np.random.RandomState(9)
+    ck = np.asarray(
+        rng.randn(L, A, H, dh, tpu_model.dims.n_audio_ctx) * 0.2, np.float32
+    )
+    cv = np.asarray(
+        rng.randn(L, A, H, dh, tpu_model.dims.n_audio_ctx) * 0.2, np.float32
+    )
+    kwargs = dict(
+        sot_index=0, suppress_ids=[11, 220], blank_ids=[220, 50257],
+        max_initial_ts_index=50, sample_len=10, n_group=2, beam_search=True,
+        max_candidates=2, use_timestamps=True, temperature=0.0,
+        eot=50257, timestamp_begin=50365, no_timestamps=50364,
+        no_speech=50363, rng_seed=0,
+    )  # fmt: skip
+    initial = np.tile(np.array([[50258, 50259, 50359]], np.int32), (A, 1))
+
+    ref = FusedEngine(tpu_model, weights="int8").run(initial, ck, cv, **kwargs)
+    dp = DataParallelEngine(tpu_model, mesh8, weights="int8").run(
+        initial, ck, cv, **kwargs
+    )
+    n = int(ref[1])
+    assert int(dp[1]) == n
+    assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])

@@ -33,8 +33,8 @@ class DataParallelEngine(FusedEngine):
     the attention heads over `tp`. n_audio must be divisible by dp (keep
     serving batches at a fixed multiple of the mesh's dp degree)."""
 
-    def __init__(self, model, mesh: Mesh):
-        super().__init__(model)
+    def __init__(self, model, mesh: Mesh, weights: str = ""):
+        super().__init__(model, weights=weights)
         self.mesh = mesh
 
     def _jit_options(self, cfg: FusedConfig) -> dict:
