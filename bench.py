@@ -42,6 +42,17 @@ import os
 import sys
 import time
 
+# Hedge-worker stagger: this host exposes ONE CPU, so N workers importing
+# jax + building the model concurrently serialize (~13 s of host work each
+# became 65-220 s of pre-warmup at N=5). Sleeping (before the heavy imports)
+# lets worker 0 reach its device dispatch at ~13 s with the CPU to itself;
+# each later worker starts its lottery draw D seconds after the previous —
+# min-of-N across replicas is preserved, the CPU convoy is gone.
+if os.environ.get("BENCH_ROLE") == "worker":
+    _stagger = float(os.environ.get("BENCH_STAGGER_S", "0"))
+    if _stagger > 0:
+        time.sleep(_stagger)
+
 import numpy as np
 
 # canonical env so the XLA compilation-cache key matches the baked .jax_cache
@@ -301,6 +312,11 @@ def main_hedged(n_workers: int):
         env["BENCH_ROLE"] = "worker"
         env["BENCH_WORKER_OUT"] = out_path
         env["BENCH_GO_FILE"] = os.path.join(tmpdir, f"worker{i}.go")
+        # stagger worker starts (default 8 s apart) so their host-side
+        # import/build/trace work doesn't convoy on this 1-CPU machine
+        env["BENCH_STAGGER_S"] = repr(
+            i * float(os.environ.get("BENCH_WORKER_STAGGER_S", "8"))
+        )
         env["BENCH_SPAWN_TS"] = repr(time.time())
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
