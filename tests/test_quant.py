@@ -81,6 +81,34 @@ def test_decode_step_logits_close(tpu_model, mel):
     assert np.array_equal(np.argmax(ref, -1), np.argmax(q, -1))
 
 
+def test_cross_kv_quantization(tpu_model, mel):
+    """Per-column int8 cross-K/V: the K scale factors out of the score dot
+    and the V scale folds into the softmax weights — outputs must track the
+    bf16 path closely, and the quantizer's per-column error bound holds."""
+    from whisper_tpu.quant import quantize_cross_kv
+
+    xa = tpu_model.encode(mel[None])
+    ck, cv = tpu_model.cross_kv(xa)
+    (ck_i8, ck_s), (cv_i8, cv_s) = quantize_cross_kv(ck, cv)
+    ckf = np.asarray(ck, np.float32)
+    err = np.abs(ckf - np.asarray(ck_i8) * np.asarray(ck_s)[:, :, :, None, :])
+    assert np.all(err <= np.asarray(ck_s)[:, :, :, None, :] * 0.5 + 1e-8)
+
+    dec = tpu_model.params["decoder"]
+    blk = jax.tree.map(lambda a: a[0], dec["blocks"])
+    x = jnp.asarray(
+        (np.random.RandomState(5).randn(1, 4, tpu_model.dims.n_text_state) * 0.3
+         ).astype(np.float32)
+    )  # fmt: skip
+    ref, _ = graphs._cross_attention(x, blk, ck[0], cv[0], tpu_model.dims.n_text_head)
+    q, _ = graphs._cross_attention(
+        x, blk, (ck_i8[0], ck_s[0]), (cv_i8[0], cv_s[0]), tpu_model.dims.n_text_head
+    )
+    ref, q = np.asarray(ref), np.asarray(q)
+    scale = np.abs(ref).max() + 1e-6
+    assert np.max(np.abs(ref - q)) / scale < 0.05
+
+
 def _engine_kwargs(tok, sample_len=12, beam=2):
     return dict(
         sot_index=0, suppress_ids=[tok.eot], blank_ids=tok.encode(" ") + [tok.eot],

@@ -59,6 +59,11 @@ class FusedConfig(NamedTuple):
     # never exist — at large-v3 x 16 streams x beam 5 that is ~5 GB of HBM
     last_window: int = 448
     pallas_interpret: bool = False  # interpret mode off-TPU
+    # int8 mode: quantize the cross-K/V INSIDE this program (one pass per
+    # window) — every decode step then reads half the cross-K/V bytes.
+    # Dispatching the quantization as its own program measured ~10 ms/run
+    # of tunnel overhead that ate the entire saving; inline it is free.
+    quantize_ckv: bool = False
 
 
 class FusedState(NamedTuple):
@@ -360,6 +365,11 @@ def fused_decode(
     d = dec_params["tok_emb"].shape[1]
     L = dec_params["blocks"]["attn_q_w"].shape[0]
 
+    if cfg.quantize_ckv:
+        from .quant import quantize_cross_kv_math
+
+        ck, cv = quantize_cross_kv_math(ck, cv)
+
     # ---- prefill (once per audio; beams are identical before sampling) ----
     prefill_tokens = initial_tokens[:, : graphs.PREFILL_LEN]  # (A, P)
     hidden, kv = graphs.prefill(
@@ -559,8 +569,8 @@ def fused_decode(
                 for l in range(L)
             ),
         )
-        step_ck = tuple(ck[l] for l in range(L))
-        step_cv = tuple(cv[l] for l in range(L))
+        step_ck = tuple(graphs.ckv_layer(ck, l) for l in range(L))
+        step_cv = tuple(graphs.ckv_layer(cv, l) for l in range(L))
     else:
         step_dec, step_ck, step_cv = dec_params, ck, cv
 
@@ -799,6 +809,7 @@ class FusedEngine:
             pallas_greedy=pallas_beam and not beam_search,
             pallas_interpret=jax.default_backend() != "tpu",
             last_window=last_window,
+            quantize_ckv=self._weights_mode == "int8",
         )
         fn = self._get(cfg)
 

@@ -82,6 +82,35 @@ def _dot(x, blk, name):
     return (y * scale).astype(x.dtype)
 
 
+def _is_quant_pair(x):
+    """An int8 cross-K/V operand is an (array, scale) pair whose scale has
+    exactly one fewer axis (the dh axis reduced away). Distinguishes it from
+    a tuple of per-layer entries, whose elements are same-rank arrays or
+    pairs themselves."""
+    return (
+        isinstance(x, tuple)
+        and len(x) == 2
+        and not isinstance(x[0], tuple)
+        and getattr(x[1], "ndim", -1) == getattr(x[0], "ndim", 0) - 1
+    )
+
+
+def _ckv_parts(ckv_l):
+    """A per-layer cross-K/V operand is either a plain (B, H, dh, T) array
+    or an int8 (array, (B, H, T) scale) pair from quant.quantize_cross_kv."""
+    if _is_quant_pair(ckv_l):
+        return ckv_l
+    return ckv_l, None
+
+
+def ckv_layer(ckv, l):
+    """Index layer `l` of a cross-K/V operand: a stacked array, a stacked
+    int8 (array, scale) pair, or an already-per-layer tuple of either."""
+    if _is_quant_pair(ckv):
+        return (ckv[0][l], ckv[1][l])
+    return ckv[l]
+
+
 def tok_embedding(dec, tokens, dtype):
     """Token-embedding rows, dequantizing per-row int8 if quantized."""
     emb = jnp.asarray(dec["tok_emb"])
@@ -228,14 +257,29 @@ def cross_kv(dec, xa, *, n_head):
 
 
 def _cross_attention(x, blk, ck_l, cv_l, n_head, return_scores=False):
-    """x: (B, T, d); ck_l/cv_l: (Bx, H, dh, Tk) with Bx in {1, B} (broadcast)."""
+    """x: (B, T, d); ck_l/cv_l: (Bx, H, dh, Tk) with Bx in {1, B} (broadcast),
+    plain or int8 (array, scale) pairs (quant.quantize_cross_kv)."""
+    ck_a, ck_s = _ckv_parts(ck_l)
+    cv_a, cv_s = _ckv_parts(cv_l)
     h = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
     q = _dot(h, blk, "cross_q_w") + blk["cross_q_b"]
     dh = q.shape[-1] // n_head
     qh = jnp.transpose(_split_heads(q * (dh**-0.5), n_head), (0, 2, 1, 3))
-    scores = jnp.einsum("bhqd,bhdk->bhqk", qh, ck_l, preferred_element_type=jnp.float32)
-    w = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
-    out = jnp.einsum("bhqk,bhdk->bqhd", w, cv_l)
+    scores = jnp.einsum(
+        "bhqd,bhdk->bhqk", qh, ck_a.astype(qh.dtype) if ck_s is not None else ck_a,
+        preferred_element_type=jnp.float32,
+    )  # fmt: skip
+    if ck_s is not None:
+        # per-column K scale factors out of the dh contraction exactly
+        scores = scores * ck_s[:, :, None, :]
+    wf = jax.nn.softmax(scores, axis=-1)
+    if cv_s is not None:
+        # fold the per-column V scale into the softmax weights (exact)
+        w = (wf * cv_s[:, :, None, :]).astype(x.dtype)
+        out = jnp.einsum("bhqk,bhdk->bqhd", w, cv_a.astype(x.dtype))
+    else:
+        w = wf.astype(x.dtype)
+        out = jnp.einsum("bhqk,bhdk->bqhd", w, cv_a)
     out = out.reshape(*x.shape)
     attn = _dot(out, blk, "cross_o_w") + blk["cross_o_b"]
     if return_scores:
@@ -330,7 +374,9 @@ def prefill_with_alignment(dec, tokens, n_valid, ck, cv, *, n_head, alignment_he
         x = x + _dot(_self_attention(q, k, v, mask, n_head), blk, "attn_o_w") + blk["attn_o_b"]
 
         need = l in wanted
-        attn, scores = _cross_attention(x, blk, ck[l], cv[l], n_head, return_scores=need)
+        attn, scores = _cross_attention(
+            x, blk, ckv_layer(ck, l), ckv_layer(cv, l), n_head, return_scores=need
+        )
         if need:
             for head, i in wanted[l]:
                 align[i] = scores[0, head]  # (P, 1500) f32
@@ -580,6 +626,8 @@ def decode_step(
 
     def block(x, inputs):
         blk, cache_l, ck_l, cv_l = inputs
+        ck_a, ck_s = _ckv_parts(ck_l)  # int8 cross-K/V rides as (arr, scale)
+        cv_a, cv_s = _ckv_parts(cv_l)
         h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
         q = (_dot(h, blk, "attn_q_w") + blk["attn_q_b"])[:, 0]  # (beam, d)
         k = _dot(h, blk, "attn_k_w")[:, 0]
@@ -589,7 +637,7 @@ def decode_step(
         k_cache, v_cache = cache_l[0], cache_l[1]  # (beam, W, d)
         kh_new = _split_heads(k, n_head)  # (beam, H, dh)
         vh_new = _split_heads(v, n_head)
-        if row_map is not None and ck_l.shape[0] > 1 and not tuple_cache:
+        if row_map is not None and ck_a.shape[0] > 1 and not tuple_cache:
             # Multi-audio batch: row_map is block-diagonal per audio (a beam
             # only ever reorders within its own audio's group), so scoring
             # each query against all B source rows wastes an A-fold factor of
@@ -601,7 +649,7 @@ def decode_step(
             # slab is already a materialized copy and the slot write targets
             # the full cache separately. Bit-identical to the dense form:
             # the dropped terms are exact 0.0 products.
-            A_, Gq = ck_l.shape[0], beam // ck_l.shape[0]
+            A_, Gq = ck_a.shape[0], beam // ck_a.shape[0]
             qh_g = qh.reshape(A_, Gq, n_head, dh)
             kh_g = _split_heads(k_cache, n_head).reshape(A_, Gq, W, n_head, dh)
             vh_g = _split_heads(v_cache, n_head).reshape(A_, Gq, W, n_head, dh)
@@ -687,14 +735,28 @@ def decode_step(
         # group = beam // Bc query rows sharing each audio's K/V
         hc = layer_norm(x, blk["cross_ln_g"], blk["cross_ln_b"], eps=1e-5)
         qc = (_dot(hc, blk, "cross_q_w") + blk["cross_q_b"])[:, 0]  # (beam, d)
-        Bc = ck_l.shape[0]
+        Bc = ck_a.shape[0]
         group = beam // Bc
         qc = (qc * (dh**-0.5)).reshape(Bc, group, n_head, dh)
         cscores = jnp.einsum(
-            "bghd,bhdk->bghk", qc, ck_l, preferred_element_type=jnp.float32
+            "bghd,bhdk->bghk",
+            qc,
+            ck_a.astype(qc.dtype) if ck_s is not None else ck_a,
+            preferred_element_type=jnp.float32,
         )
-        cw = jax.nn.softmax(cscores, axis=-1).astype(dtype)
-        cwv = jnp.einsum("bghk,bhdk->bghd", cw, cv_l).reshape(beam, 1, d)
+        if ck_s is not None:
+            # per-column K scale factors out of the dh contraction exactly
+            cscores = cscores * ck_s[:, None, :, :]
+        cwf = jax.nn.softmax(cscores, axis=-1)
+        if cv_s is not None:
+            # fold the per-column V scale into the softmax weights (exact)
+            cw = (cwf * cv_s[:, None, :, :]).astype(dtype)
+            cwv = jnp.einsum(
+                "bghk,bhdk->bghd", cw, cv_a.astype(dtype)
+            ).reshape(beam, 1, d)
+        else:
+            cw = cwf.astype(dtype)
+            cwv = jnp.einsum("bghk,bhdk->bghd", cw, cv_a).reshape(beam, 1, d)
         x = x + _dot(cwv, blk, "cross_o_w") + blk["cross_o_b"]
 
         x = x + _mlp(x, blk)
@@ -711,7 +773,7 @@ def decode_step(
         new_slots = []
         for l in range(L):
             blk_l = blocks[l] if presliced else jax.tree.map(lambda a: a[l], blocks)
-            x, kv_l = block(x, (blk_l, cache[l], ck[l], cv[l]))
+            x, kv_l = block(x, (blk_l, cache[l], ckv_layer(ck, l), ckv_layer(cv, l)))
             new_slots.append(kv_l)  # each (2, beam, d)
         new_kv = None if tuple_cache else jnp.stack(new_slots)
     else:

@@ -48,13 +48,15 @@ class DataParallelEngine(FusedEngine):
         # the engine runs with weight-only int8 decode (extra @scale leaves)
         dec_sharding = param_shardings(self._decoder_params(), mesh)
         repl = NamedSharding(mesh, P())
+        # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp (int8
+        # mode quantizes them INSIDE the program, so the inputs stay plain)
+        ckv_spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
         in_shardings = (
             dec_sharding,
             NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
             repl,  # sample_begin
-            # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp
-            NamedSharding(mesh, P(None, "dp", "tp", None, None)),
-            NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+            ckv_spec,
+            ckv_spec,
             repl,  # sot_index
             repl,  # suppress mask
             repl,  # blank mask

@@ -66,6 +66,40 @@ def _quantize_rows(w):
     return wi8, s.squeeze(-1)
 
 
+def quantize_cross_kv_math(ck, cv):
+    """Traceable body of quantize_cross_kv — called INSIDE the fused decode
+    program (engine_fused.fused_decode) so the quantization pass adds no
+    extra program execution: dispatching it as its own program measured
+    ~10 ms/run of tunnel/dispatch overhead that ate the entire read saving,
+    while inline it costs one ~115 us pass over the cross-K/V per window."""
+
+    def q(x):
+        xf = x.astype(jnp.float32)
+        s = jnp.max(jnp.abs(xf), axis=3, keepdims=True) / 127.0 + 1e-12
+        xi8 = jnp.clip(jnp.round(xf / s), -127, 127).astype(jnp.int8)
+        return xi8, s.squeeze(3)
+
+    return q(ck), q(cv)
+
+
+@jax.jit
+def quantize_cross_kv(ck, cv):
+    """Per-column int8 quantization of the cross-attention K/V precompute.
+
+    ck/cv: (L, B, H, dh, T). Each (dh,) column t gets one scale (amax/127):
+    the score dot contracts over dh, so the K scale factors out of the dot
+    (scores * s_k), and the V scale folds into the softmax weights before
+    the AV dot (w * s_v) — both exact factorizations, no requantization
+    error beyond the column quantization itself. These are ACTIVATION
+    tensors (computed per window by the frontend), read in full by every
+    decode step: 76 us/step of the turbo int8 step's 425 us was cross-K/V
+    reads at full HBM bandwidth.
+
+    Returns ((ck_i8, ck_scale), (cv_i8, cv_scale)) with scales (L, B, H, T)
+    float32."""
+    return quantize_cross_kv_math(ck, cv)
+
+
 def quantize_decoder(dec: Dict, quantize_embedding: bool = True) -> Dict:
     """Return a copy of the decoder param tree with the step-loop weights
     quantized to int8 + '@scale' siblings. Runs on device (jitted), so the
