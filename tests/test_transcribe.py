@@ -206,3 +206,27 @@ def test_cli_parallel(tpu_model, synth_checkpoint, tmp_path, monkeypatch, capsys
     out_a = (tmp_path / "out" / "a.txt").read_text()
     out_b = (tmp_path / "out" / "b.txt").read_text()
     assert out_a == out_b  # identical audio -> identical transcript
+
+
+def test_cli_int8_weights(tpu_model, synth_checkpoint, tmp_path, monkeypatch):
+    """whisper-tpu --weights int8 transcribes end-to-end through the
+    quantized fused engine (env plumbing -> FusedEngine(weights='int8'))."""
+    import shutil
+    import sys
+
+    from whisper_tpu.cli import cli
+
+    wav = str(tmp_path / "c.flac")
+    shutil.copy(JFK, wav)
+    monkeypatch.delenv("WHISPER_TPU_WEIGHTS", raising=False)
+    monkeypatch.setattr(
+        sys, "argv",
+        ["whisper-tpu", wav, "--weights", "int8",
+         "--model", synth_checkpoint, "--language", "en",
+         "--temperature", "0", "--temperature_increment_on_fallback", "None",
+         "--output_dir", str(tmp_path / "out8"), "--output_format", "txt",
+         "--verbose", "False"],
+    )  # fmt: skip
+    cli()
+    assert (tmp_path / "out8" / "c.txt").exists()
+    assert os.environ.get("WHISPER_TPU_WEIGHTS") == "int8"

@@ -37,6 +37,7 @@ def cli():
     parser.add_argument("--output_format", "-f", type=str, default="all", choices=["txt", "vtt", "srt", "tsv", "json", "all"], help="format of the output file")
     parser.add_argument("--verbose", type=str2bool, default=True, help="whether to print out progress and debug messages")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"], help="on-device matmul dtype")
+    parser.add_argument("--weights", type=str, default="bf16", choices=["bf16", "int8"], help="decode-loop weight storage: int8 enables weight-only quantized decoding (faster, near-lossless, not token-parity-guaranteed)")
 
     parser.add_argument("--task", type=str, default="transcribe", choices=["transcribe", "translate"], help="transcribe (X->X) or translate (X->English)")
     parser.add_argument("--language", type=str, default=None, choices=sorted(LANGUAGES.keys()) + sorted([k.title() for k in TO_LANGUAGE_CODE.keys()]), help="language spoken in the audio; None performs language detection")
@@ -74,6 +75,10 @@ def cli():
     output_dir: str = args.pop("output_dir")
     output_format: str = args.pop("output_format")
     compute_dtype: str = args.pop("compute_dtype")
+    if args.pop("weights") == "int8":
+        # the fused engine reads this at construction (engine_fused.py);
+        # env-var plumbing so batch/streaming paths inherit the mode too
+        os.environ["WHISPER_TPU_WEIGHTS"] = "int8"
     os.makedirs(output_dir, exist_ok=True)
 
     if model_name.endswith(".en") and args["language"] not in {"en", "English"}:
