@@ -384,12 +384,27 @@ void engine_init(Engine& e, const std::string& dir, const std::string& plugin,
   if (load_greedy) {
     e.dec_greedy.spec = parse_spec(dir + "/fused_greedy.spec.txt");
     e.dec_greedy.exec = load_or_compile(e.ctx, "fused_greedy");
-    e.dec_greedy.params = e.ckv.params;  // same decoder blob, same handles
+    // bf16 export: the fused graphs consume the cross_kv decoder blob —
+    // reuse its device handles. int8 export (export.py weights="int8"):
+    // the fused graphs take a quantized tree with extra @scale leaves
+    // (detectable as a different param count), shipped in their own blob.
+    if (e.dec_greedy.spec.n_params == e.ckv.spec.n_params)
+      e.dec_greedy.params = e.ckv.params;  // same decoder blob, same handles
+    else
+      e.dec_greedy.params = upload_params(e.ctx, e.dec_greedy.spec,
+                                          dir + "/fused_greedy.params.bin");
   }
   if (load_beam) {
     e.dec_beam.spec = parse_spec(dir + "/fused_beam.spec.txt");
     e.dec_beam.exec = load_or_compile(e.ctx, "fused_beam");
-    e.dec_beam.params = e.ckv.params;
+    if (e.dec_beam.spec.n_params == e.ckv.spec.n_params)
+      e.dec_beam.params = e.ckv.params;
+    else if (load_greedy &&
+             e.dec_beam.spec.n_params == e.dec_greedy.spec.n_params)
+      e.dec_beam.params = e.dec_greedy.params;  // fused blobs are shared
+    else
+      e.dec_beam.params = upload_params(e.ctx, e.dec_beam.spec,
+                                        dir + "/fused_beam.params.bin");
     e.have_beam = true;
   }
 

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--beam-size", type=int, default=5)
     ap.add_argument("--sample-len", type=int, default=446)
     ap.add_argument(
+        "--weights",
+        default="bf16",
+        choices=["bf16", "int8"],
+        help="fused-decode weight storage (int8 = weight-only quantized)",
+    )
+    ap.add_argument(
         "--random-weights",
         action="store_true",
         help="synthetic weights at the model's dims (offline testing)",
@@ -67,6 +73,7 @@ def main():
         task=args.task,
         sample_len=args.sample_len,
         beam_size=args.beam_size,
+        weights=args.weights,
     )
     print(f"exported pipeline -> {args.out}")
 

@@ -172,6 +172,7 @@ def export_pipeline(
     task: str = "transcribe",
     sample_len: int = 446,
     beam_size: int = 5,
+    weights: str = "bf16",
 ):
     """Export everything the native transcription pipeline
     (runtime/wtpu_transcribe.cpp) needs to run WITHOUT Python:
@@ -225,7 +226,23 @@ def export_pipeline(
         n_params=n_dec,
     )
 
-    # ---- the fused greedy decode graph ----
+    # ---- the fused decode graphs ----
+    # weights="int8": the fused graphs consume the weight-only-quantized
+    # decoder tree (quant.py) and quantize the cross-K/V inside the program
+    # — the native binary needs no changes (the params blob and I/O spec
+    # carry per-tensor dtypes; int8 is already in its dtype table). The
+    # encoder / cross-KV graphs stay bf16 (compute-bound).
+    if weights == "int8":
+        from .quant import quantize_decoder
+
+        fused_dec = quantize_decoder(dec_params)
+        n_fused = _write_params_blob(out_dir, "fused_greedy", fused_dec)
+    elif weights in ("", "bf16", "bfloat16"):
+        fused_dec = dec_params
+        n_fused = n_dec
+    else:
+        raise ValueError(f"unknown weights mode {weights!r} (expected 'int8')")
+
     cfg = FusedConfig(
         n_group=1,
         n_audio=1,
@@ -236,12 +253,13 @@ def export_pipeline(
         timestamp_begin=tok.timestamp_begin,
         no_timestamps=tok.no_timestamps,
         no_speech=tok.no_speech if tok.no_speech is not None else 0,
+        quantize_ckv=weights == "int8",
     )
     ck_aval, cv_aval = jax.eval_shape(
         partial(graphs.cross_kv, n_head=dims.n_text_head), dec_params, xa
     )
     example = (
-        dec_params,
+        fused_dec,
         jax.ShapeDtypeStruct((1, graphs.CACHE_SLOTS), np.int32),  # initial tokens
         np.int32(0),  # sample_begin
         jax.ShapeDtypeStruct(ck_aval.shape, ck_aval.dtype),
@@ -264,7 +282,7 @@ def export_pipeline(
         ),
         example,
         name="fused_greedy",
-        n_params=n_dec,
+        n_params=n_fused,
     )
     # ---- the fused beam-search decode graph ----
     beam_cfg = cfg._replace(
@@ -280,13 +298,15 @@ def export_pipeline(
         ),
         example,
         name="fused_beam",
-        n_params=n_dec,
+        n_params=n_fused,
     )
-    # the fused graphs share the decoder blob
+    # the fused graphs share one decoder blob: the bf16 one when unquantized,
+    # the int8 blob written above otherwise
+    fused_blob = "decoder.params.bin" if weights != "int8" else "fused_greedy.params.bin"
     for shared in ("fused_greedy", "fused_beam"):
         link = os.path.join(out_dir, f"{shared}.params.bin")
         if not os.path.exists(link):
-            os.symlink("decoder.params.bin", link)
+            os.symlink(fused_blob, link)
 
     # ---- default suppression masks (DecodingTask._get_suppress_tokens with
     # suppress_tokens="-1": non-speech tokens + specials; SuppressBlank) ----
