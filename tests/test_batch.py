@@ -114,3 +114,18 @@ def test_encode_clip_matches_encode_windows(tpu_model, jfk_audio):
     assert ck.shape == ck_ref.shape
     assert np.abs(np.asarray(ck) - np.asarray(ck_ref)).max() < 2e-3
     assert np.abs(np.asarray(cv) - np.asarray(cv_ref)).max() < 2e-3
+
+
+def test_batch_accepts_verbose(tpu_model, jfk_audio):
+    """transcribe()/transcribe_batch share caller kwargs; verbose must not
+    leak into DecodingOptions (regression: TypeError)."""
+    from whisper_tpu.batch import transcribe_batch, transcribe_chunked
+
+    out = transcribe_batch(
+        tpu_model, [jfk_audio], language="en", temperature=0.0, verbose=None
+    )
+    assert len(out) == 1 and "segments" in out[0]
+    res = transcribe_chunked(
+        tpu_model, jfk_audio, language="en", temperature=0.0, verbose=False
+    )
+    assert "segments" in res

@@ -58,10 +58,16 @@ def transcribe_batch(
     word_timestamps: bool = False,
     prepend_punctuations: str = "\"'\u201c\u00bf([{-",
     append_punctuations: str = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
+    verbose: Optional[bool] = None,
     **decode_options,
 ) -> List[dict]:
     """Transcribe N audio streams concurrently. Returns one result dict per
-    stream (same schema as transcribe())."""
+    stream (same schema as transcribe()).
+
+    `verbose` is accepted for signature compatibility with transcribe()
+    (callers routinely share one kwargs dict between the two); batched
+    decoding interleaves streams, so there is no per-segment live log —
+    it must not leak into DecodingOptions (TypeError)."""
     if language is None:
         language = "en" if not model.is_multilingual else None
     temperatures = (
