@@ -53,6 +53,8 @@ class StreamingTranscriber:
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
         condition_on_previous_text: bool = True,
+        verbose: Optional[bool] = None,  # transcribe() signature compat;
+        # streaming emits segments via feed()/flush(), not a live log
         **decode_options,
     ):
         self.model = model
