@@ -218,7 +218,11 @@ def test_cli_int8_weights(tpu_model, synth_checkpoint, tmp_path, monkeypatch):
 
     wav = str(tmp_path / "c.flac")
     shutil.copy(JFK, wav)
-    monkeypatch.delenv("WHISPER_TPU_WEIGHTS", raising=False)
+    # setenv (not delenv): delenv on a NONEXISTENT var records nothing, so
+    # the value cli() sets would leak into later tests in this process and
+    # silently flip their engines to int8 (caught as an order-dependent
+    # parity failure). setenv snapshots state; teardown restores "".
+    monkeypatch.setenv("WHISPER_TPU_WEIGHTS", "")
     monkeypatch.setattr(
         sys, "argv",
         ["whisper-tpu", wav, "--weights", "int8",

@@ -29,15 +29,28 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _sync(out):
+    """Force completion with a tiny host transfer: under the remote-PJRT
+    axon plugin `block_until_ready` returns before execution finishes, so
+    timings without a transfer are dispatch-only (TODO.md measurement
+    caveats) — the old form reported a 43 ms encoder as 0.19 ms."""
+    jax.device_get(jax.tree.leaves(out)[0].ravel()[:1])
+
+
 def time_fn(fn, trials):
     t0 = time.perf_counter()
-    jax.block_until_ready(fn())
+    _sync(fn())
     first = time.perf_counter() - t0
+    # amortize the ~15-90 ms tunnel round trip over a chained batch of
+    # executions per timing sample
+    chain = 10
     times = []
     for _ in range(trials):
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        times.append(time.perf_counter() - t0)
+        for _ in range(chain):
+            out = fn()
+        _sync(out)
+        times.append((time.perf_counter() - t0) / chain)
     return first, float(np.median(times))
 
 

@@ -102,13 +102,13 @@ class Whisper:
         """mel: (B, n_mels, 3000) -> audio features (B, 1500, d)."""
         with profiling.timed("encoder"):
             out = self._encode(self.params["encoder"], jnp.asarray(mel))
-            out.block_until_ready()
+            profiling.maybe_block(out)
         return out
 
     def cross_kv(self, xa) -> Tuple[jax.Array, jax.Array]:
         with profiling.timed("cross_kv"):
             ck, cv = self._cross_kv(self.params["decoder"], xa)
-            cv.block_until_ready()
+            profiling.maybe_block(cv)
         return ck, cv
 
     def encode_with_cross_kv(self, mel):
@@ -117,7 +117,7 @@ class Whisper:
             xa, ck, cv = self._encode_ckv(
                 self.params["encoder"], self.params["decoder"], jnp.asarray(mel)
             )
-            cv.block_until_ready()
+            profiling.maybe_block(cv)
         return xa, ck, cv
 
     def prefill(self, tokens, n_valid, ck, cv):
@@ -135,7 +135,7 @@ class Whisper:
             hidden, kv = self._prefill(
                 self.params["decoder"], padded, jnp.int32(n_valid), ck, cv
             )
-            kv.block_until_ready()
+            profiling.maybe_block(kv)
         return hidden, kv
 
     def prefill_align(self, tokens, n_valid, ck, cv):
@@ -226,7 +226,7 @@ class Whisper:
                 ck,
                 cv,
             )
-            logits.block_until_ready()
+            profiling.maybe_block(logits)
         return logits, cache
 
     def hidden_to_logits(self, hidden):

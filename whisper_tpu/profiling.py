@@ -15,6 +15,7 @@ from the CLI, transcribe.py:633-634). This is the TPU equivalent:
   * `trace(path)` wraps a block in jax.profiler for deep dives.
 """
 
+import os
 import threading
 import time
 from collections import defaultdict
@@ -27,6 +28,24 @@ _counts: Dict[str, int] = defaultdict(int)
 _first_call_time: Dict[str, float] = {}
 
 enabled = True
+
+# When True, graph wrappers block on their results so timed() spans cover
+# dispatch + device execution (precise per-graph accounting — the
+# showCoremlPredictTime analog). Default OFF: under the remote-PJRT axon
+# plugin `block_until_ready` costs a full tunnel round trip (~15-90 ms)
+# per call WITHOUT actually guaranteeing completion, taxing every window
+# of the product path for timing fidelity nobody asked for. JAX's async
+# dispatch semantics make the non-blocking form correct everywhere —
+# downstream use of the arrays forces completion.
+sync_for_timing = os.environ.get("WHISPER_TPU_PROFILE") == "1"
+
+
+def maybe_block(x):
+    """Block on a device array for timing fidelity, only when profiling
+    mode (WHISPER_TPU_PROFILE=1) requests it."""
+    if sync_for_timing:
+        x.block_until_ready()
+    return x
 
 
 def record(name: str, seconds: float):
