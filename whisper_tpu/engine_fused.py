@@ -97,12 +97,19 @@ def _apply_filters(
     cfg: FusedConfig,
 ):
     """Vectorized equivalents of SuppressBlank / SuppressTokens /
-    ApplyTimestampRules (decoding.py:450-532). logits: (G, V) f32."""
+    ApplyTimestampRules (decoding.py:450-532). logits: (G, V) f32.
+
+    `n_tokens` may be a scalar (every row at the same length — the fused
+    loop) or a (G,) vector (rows at different lengths — the speculative
+    engine verifies K+1 positions whose per-row history lengths diverge
+    as acceptance differs per audio). The scalar form broadcasts to the
+    vector form, so both take the identical masking path."""
     G, V = logits.shape
     vocab_ids = jnp.arange(V)
+    nt = jnp.broadcast_to(jnp.asarray(n_tokens, jnp.int32), (G,))
 
     # SuppressBlank: only at the very first sampling position
-    at_begin = n_tokens == sample_begin
+    at_begin = (nt == sample_begin)[:, None]  # (G, 1)
     logits = jnp.where(at_begin & blank_suppress_mask[None, :], NEG_INF, logits)
 
     # SuppressTokens: static suppression list
@@ -117,11 +124,12 @@ def _apply_filters(
     logits = logits.at[:, cfg.no_timestamps].set(NEG_INF)
 
     pos = jnp.arange(tokens.shape[1])
-    sampled = (pos >= sample_begin) & (pos < n_tokens)  # (448,)
-    seq_len = n_tokens - sample_begin
+    sampled = (pos[None, :] >= sample_begin) & (pos[None, :] < nt[:, None])  # (G, 448)
+    seq_len = nt - sample_begin
 
-    last_tok = tokens[:, jnp.maximum(n_tokens - 1, 0)]
-    penult_tok = tokens[:, jnp.maximum(n_tokens - 2, 0)]
+    rows = jnp.arange(G)
+    last_tok = tokens[rows, jnp.maximum(nt - 1, 0)]
+    penult_tok = tokens[rows, jnp.maximum(nt - 2, 0)]
     last_was_ts = (seq_len >= 1) & (last_tok >= ts_begin)
     penult_was_ts = (seq_len < 2) | (penult_tok >= ts_begin)
 
@@ -137,7 +145,7 @@ def _apply_filters(
 
     # timestamps are non-decreasing -> the largest sampled timestamp is the
     # most recent one
-    is_ts = sampled[None, :] & (tokens >= ts_begin)  # (G, 448)
+    is_ts = sampled & (tokens >= ts_begin)  # (G, 448)
     has_ts = is_ts.any(axis=1)
     last_ts = jnp.max(jnp.where(is_ts, tokens, -1), axis=1)  # (G,)
     ts_floor = jnp.where(force_ts_or_eot, last_ts, last_ts + 1)

@@ -101,6 +101,50 @@ def encode_clip(model, audio: np.ndarray):
     return ck, cv, n_windows
 
 
+_SPEC_JITS = {}
+
+
+def clip_frontend_spec(dims_t, dims_d, n_windows: int):
+    """Speculative-decoding frontend: ONE device program producing BOTH the
+    target's and the draft's cross-attention K/V for a clip.
+
+    The models run their own encoders (a draft like tiny is 4 layers x 384
+    wide — a few ms next to the target's encoder), but share the audio
+    upload, the STFT magnitudes' input, and the single execute RPC. Returns
+    (ck_t, cv_t, ck_d, cv_d)."""
+    key = (
+        dims_t.n_mels, dims_t.n_audio_head, dims_t.n_text_head,
+        dims_d.n_mels, dims_d.n_audio_head, dims_d.n_text_head,
+        n_windows,
+    )
+    if key not in _SPEC_JITS:
+        import jax
+        import jax.numpy as jnp
+
+        from .models import graphs
+
+        def frontend(enc_t, dec_t, enc_d, dec_d, audio):
+            def one(enc, dec, n_mels, n_audio_head, n_text_head):
+                mel = log_mel_spectrogram_jax(audio, n_mels)
+                windows = mel[:, : n_windows * N_FRAMES].reshape(
+                    n_mels, n_windows, N_FRAMES
+                )
+                windows = jnp.transpose(windows, (1, 0, 2))
+                xa = graphs.encode(enc, windows, n_head=n_audio_head)
+                return graphs.cross_kv(dec, xa, n_head=n_text_head)
+
+            ck_t, cv_t = one(
+                enc_t, dec_t, dims_t.n_mels, dims_t.n_audio_head, dims_t.n_text_head
+            )
+            ck_d, cv_d = one(
+                enc_d, dec_d, dims_d.n_mels, dims_d.n_audio_head, dims_d.n_text_head
+            )
+            return ck_t, cv_t, ck_d, cv_d
+
+        _SPEC_JITS[key] = jax.jit(frontend)
+    return _SPEC_JITS[key]
+
+
 # ---------------------------------------------------------------------------
 # multi-stream batched mel (batch.py's lockstep transcriber)
 # ---------------------------------------------------------------------------

@@ -832,3 +832,97 @@ def kv_to_cache(kv, beam, dtype):
     cache = jnp.zeros((L, 2, beam, CACHE_SLOTS, d), dtype=dtype)
     kv_b = jnp.broadcast_to(kv.astype(dtype), (L, 2, beam, P, d))
     return jax.lax.dynamic_update_slice(cache, kv_b, (0, 0, 0, 0, 0))
+
+
+# ---------------------------------------------------------------------------
+# K-token mid-sequence decoder pass (speculative decoding verify/draft step).
+# No reference analog: the reference decodes strictly one token per Decoder1
+# run (decoder.py:241-259); verifying K drafted tokens in one pass is the
+# TPU-serving extension — the decoder weight sweep that makes the
+# autoregressive step bandwidth-bound is paid ONCE for K+1 positions.
+# ---------------------------------------------------------------------------
+
+
+def decode_chunk(dec, tokens_k, pos, cache, ck, cv, *, n_head, active=None):
+    """Decode K tokens at per-row positions in one pass.
+
+    tokens_k: (B, K) i32 — tokens occupying positions pos[b] .. pos[b]+K-1
+    pos:      (B,) i32 — first cache slot this chunk writes (== tokens fed
+              so far for row b); rows may differ (speculative acceptance
+              diverges per audio)
+    cache:    (L, 2, B, C, d) self-attention K/V, valid for slots < pos[b]
+    ck/cv:    (L, Bc, H, dh, T) cross K/V (plain or int8 pairs), Bc in {1, B}
+    active:   (B,) bool or None — rows with active=False write NOTHING into
+              the cache (their logits are still computed and must be ignored
+              by the caller); used to freeze finished rows in lockstep loops.
+
+    Returns (logits (B, K, V) f32 for positions pos+1 .. pos+K, new cache).
+    Greedy/speculative only: no beam row_map support.
+    """
+    blocks = dec["blocks"]
+    dtype = blocks["attn_q_b"].dtype
+    B, K = tokens_k.shape
+    d = dec["tok_emb"].shape[1]
+    L, _, _, C, _ = cache.shape
+    dh = d // n_head
+    pos = pos.astype(jnp.int32)
+
+    pidx = jnp.clip(pos[:, None] + jnp.arange(K)[None, :], 0, C - 1)  # (B, K)
+    x = tok_embedding(dec, tokens_k, dtype) + dec["pos_emb"][pidx].astype(dtype)
+
+    # cached slots strictly before pos[b] are valid for every query row of b
+    kmask = jnp.where(
+        jnp.arange(C)[None, None, None, :] < pos[:, None, None, None], 0.0, -jnp.inf
+    )  # (B, 1, 1, C)
+    # intra-chunk causality: query i sees chunk keys j <= i
+    causal = jnp.where(
+        jnp.arange(K)[:, None] >= jnp.arange(K)[None, :], 0.0, -jnp.inf
+    )[None, None]  # (1, 1, K, K)
+
+    def block(x, inputs):
+        blk, cache_l, ck_l, cv_l = inputs
+        h = layer_norm(x, blk["attn_ln_g"], blk["attn_ln_b"], eps=1e-5)
+        q = _dot(h, blk, "attn_q_w") + blk["attn_q_b"]  # (B, K, d)
+        k = _dot(h, blk, "attn_k_w")
+        v = _dot(h, blk, "attn_v_w") + blk["attn_v_b"]
+
+        qh = _split_heads(q * (dh**-0.5), n_head)  # (B, K, H, dh)
+        kh_new = _split_heads(k, n_head)
+        vh_new = _split_heads(v, n_head)
+        kh_c = _split_heads(cache_l[0], n_head)  # (B, C, H, dh)
+        vh_c = _split_heads(cache_l[1], n_head)
+
+        s_cache = (
+            jnp.einsum("bqhd,bchd->bhqc", qh, kh_c, preferred_element_type=jnp.float32)
+            + kmask
+        )  # (B, H, K, C)
+        s_chunk = (
+            jnp.einsum("bqhd,bkhd->bhqk", qh, kh_new, preferred_element_type=jnp.float32)
+            + causal
+        )  # (B, H, K, K)
+        w = jax.nn.softmax(jnp.concatenate([s_cache, s_chunk], axis=-1), axis=-1)
+        w = w.astype(dtype)
+        wv = jnp.einsum("bhqc,bchd->bqhd", w[..., :C], vh_c) + jnp.einsum(
+            "bhqk,bkhd->bqhd", w[..., C:], vh_new
+        )
+        x = x + _dot(wv.reshape(B, K, d), blk, "attn_o_w") + blk["attn_o_b"]
+
+        attn, _ = _cross_attention(x, blk, ck_l, cv_l, n_head)
+        x = x + attn
+        x = x + _mlp(x, blk)
+        return x, jnp.stack([k, v])  # (2, B, K, d)
+
+    x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))  # kv (L,2,B,K,d)
+
+    # scatter the chunk's K/V into per-row slots [pos_b, pos_b+K) with a
+    # one-hot einsum (a per-row dynamic_update_slice is a serialized masked
+    # rewrite on TPU; the dense select writes the same bytes vectorized)
+    onehot = (jnp.arange(C)[None, None, :] == pidx[:, :, None]).astype(dtype)  # (B,K,C)
+    if active is not None:
+        onehot = onehot * active[:, None, None].astype(dtype)
+    placed = jnp.einsum("lsbkd,bkc->lsbcd", new_kv.astype(cache.dtype), onehot.astype(cache.dtype))
+    hit = jnp.sum(onehot, axis=1) > 0  # (B, C)
+    cache = jnp.where(hit[None, None, :, :, None], placed, cache)
+
+    x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
+    return hidden_to_logits(dec, x), cache
