@@ -195,3 +195,78 @@ def test_spec_vocab_mismatch_rejected(tpu_model, tiny_dims):
     bad = Whisper(other, params=None, name="bad-draft", compute_dtype="float32")
     with pytest.raises(ValueError):
         SpeculativeEngine(tpu_model, bad)
+
+
+# ---------------------------------------------------------------------------
+# transcribe()/decode() integration: installing a draft must not change ANY
+# output (tokens, text, logprobs within tolerance) — only the speed profile.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def draft_installed(tpu_model, draft_model):
+    tpu_model.set_draft_model(draft_model, k=4)
+    yield tpu_model
+    tpu_model.set_draft_model(None)
+
+
+def test_decode_with_draft_matches_plain(tpu_model, draft_model, mel):
+    from whisper_tpu.decoding import DecodingOptions, decode
+
+    opts = DecodingOptions(language="en", temperature=0.0, sample_len=30)
+    plain = decode(tpu_model, mel, opts)
+    tpu_model.set_draft_model(draft_model, k=4)
+    try:
+        spec = decode(tpu_model, mel, opts)
+    finally:
+        tpu_model.set_draft_model(None)
+    assert spec.tokens == plain.tokens
+    assert spec.text == plain.text
+    assert abs(spec.avg_logprob - plain.avg_logprob) < 1e-3
+    assert abs(spec.no_speech_prob - plain.no_speech_prob) < 1e-4
+
+
+def test_decode_beam_ignores_draft(tpu_model, draft_installed, mel):
+    """Beam search must silently use the plain engine even with a draft."""
+    from whisper_tpu.decoding import DecodingOptions, decode
+
+    opts = DecodingOptions(language="en", beam_size=2, sample_len=16)
+    with_draft = decode(draft_installed, mel, opts)
+    draft_installed.set_draft_model(None)
+    plain = decode(tpu_model, mel, opts)
+    assert with_draft.tokens == plain.tokens
+
+
+def test_transcribe_with_draft_matches_plain(tpu_model, draft_model, jfk_audio):
+    """Long-form orchestration (seek rules, fallback ladder) over the
+    speculative engine: texts and per-segment tokens must be identical —
+    t > 0 ladder retries automatically fall back to the plain engine."""
+    np.random.seed(3)  # the t > 0 ladder draws engine rng seeds from the
+    # global stream; both runs must see the same draws
+    plain = tpu_model.transcribe(jfk_audio, language="en", verbose=None)
+    tpu_model.set_draft_model(draft_model, k=4)
+    try:
+        np.random.seed(3)
+        spec = tpu_model.transcribe(jfk_audio, language="en", verbose=None)
+    finally:
+        tpu_model.set_draft_model(None)
+    assert spec["text"] == plain["text"]
+    assert [s["tokens"] for s in spec["segments"]] == [
+        s["tokens"] for s in plain["segments"]
+    ]
+
+
+def test_set_draft_model_validation(tpu_model, tiny_dims):
+    from whisper_tpu.models import Whisper
+    from whisper_tpu.models.dims import ModelDimensions
+
+    wrong_mels = ModelDimensions(
+        n_mels=128, n_audio_ctx=1500, n_audio_state=64, n_audio_head=1,
+        n_audio_layer=1, n_vocab=tiny_dims.n_vocab, n_text_ctx=448,
+        n_text_state=64, n_text_head=1, n_text_layer=1,
+    )
+    bad = Whisper(wrong_mels, params=None, name="bad", compute_dtype="float32")
+    with pytest.raises(ValueError):
+        tpu_model.set_draft_model(bad)
+    tpu_model.set_draft_model(None)  # clearing always works
+    assert tpu_model.draft_model is None

@@ -38,6 +38,8 @@ def cli():
     parser.add_argument("--verbose", type=str2bool, default=True, help="whether to print out progress and debug messages")
     parser.add_argument("--compute_dtype", type=str, default="bfloat16", choices=["bfloat16", "float32"], help="on-device matmul dtype")
     parser.add_argument("--weights", type=str, default="bf16", choices=["bf16", "int8"], help="decode-loop weight storage: int8 enables weight-only quantized decoding (faster, near-lossless, not token-parity-guaranteed)")
+    parser.add_argument("--draft_model", type=str, default=None, help="optional draft model for speculative greedy decoding (must share the main model's tokenizer and n_mels, e.g. a distil checkpoint); token output is identical to plain greedy")
+    parser.add_argument("--draft_k", type=int, default=4, help="tokens drafted per speculative round (with --draft_model)")
 
     parser.add_argument("--task", type=str, default="transcribe", choices=["transcribe", "translate"], help="transcribe (X->X) or translate (X->English)")
     parser.add_argument("--language", type=str, default=None, choices=sorted(LANGUAGES.keys()) + sorted([k.title() for k in TO_LANGUAGE_CODE.keys()]), help="language spoken in the audio; None performs language detection")
@@ -98,6 +100,13 @@ def cli():
     from . import load_model
 
     model = load_model(model_name, download_root=model_dir, compute_dtype=compute_dtype)
+    draft_name = args.pop("draft_model")
+    draft_k = args.pop("draft_k")
+    if draft_name is not None:
+        draft = load_model(
+            draft_name, download_root=model_dir, compute_dtype=compute_dtype
+        )
+        model.set_draft_model(draft, k=draft_k)
 
     writer = get_writer(output_format, output_dir)
     word_options = [

@@ -515,6 +515,7 @@ class DecodingTask:
 
         self.inference = Inference(model, len(self.initial_tokens), self.n_group)
         self.sequence_ranker = MaximumLikelihoodRanker(options.length_penalty)
+        self._draft_ckv = None  # set per run() when speculation applies
 
         if options.beam_size is not None:
             self.decoder = BeamSearchDecoder(
@@ -636,6 +637,23 @@ class DecodingTask:
             and len(self.initial_tokens) <= 256
         )
 
+    def _can_speculate(self) -> bool:
+        """Speculative decoding applies to the fused greedy temperature-0
+        path only (the transcription hot path); beam search and the t > 0
+        fallback ladder run the plain engine. The sequence ceiling must stay
+        un-binding: the spec engine's verify chunk needs K+1 free slots, so
+        near-448-token decodes fall back rather than risk an early stop."""
+        draft = getattr(self.model, "draft_model", None)
+        if draft is None:
+            return False
+        k = getattr(self.model, "draft_k", 4)
+        return (
+            self.options.beam_size is None
+            and self.options.temperature == 0
+            and self.n_group == 1
+            and self.sample_begin + self.sample_len <= self.n_ctx - k - 1
+        )
+
     def _main_loop_fused(self, tokens: np.ndarray):
         """Run the whole sampling loop as one on-device program
         (engine_fused.fused_decode), then convert results to the host-loop's
@@ -665,46 +683,86 @@ class DecodingTask:
             if isinstance(f, ApplyTimestampRules):
                 max_initial = f.max_initial_timestamp_index
 
-        (
-            out_tokens,
-            n_tokens,
-            sum_logprobs,
-            no_speech_prob,
-            ftok,
-            fscore,
-            flen,
-            fcount,
-        ) = engine.run(
-            # per-audio rows rather than self.initial_tokens: language
-            # detection may have overwritten the language token slot
-            tokens[:: self.n_group].astype(np.int32),
-            self.inference.ck,
-            self.inference.cv,
+        common = dict(
             sot_index=self.sot_index,
             suppress_ids=suppress_ids,
             blank_ids=blank_ids,
             max_initial_ts_index=max_initial if use_timestamps else None,
             sample_len=self.sample_len,
-            n_group=self.n_group,
-            beam_search=beam_search,
-            max_candidates=(
-                self.decoder.max_candidates if beam_search else 0
-            ),
             use_timestamps=use_timestamps,
             temperature=self.options.temperature,
             eot=tokenizer.eot,
             timestamp_begin=tokenizer.timestamp_begin,
             no_timestamps=tokenizer.no_timestamps,
             no_speech=tokenizer.no_speech if tokenizer.no_speech else 0,
-            # a fresh seed matters only when the sampling branch can execute;
-            # at temperature 0 a fixed seed keeps the engine's device-scalar
-            # cache to one entry instead of one per decoded window
-            rng_seed=(
-                np.random.randint(0, 2**31 - 1)
-                if self.options.temperature > 0
-                else 0
-            ),
         )
+        # per-audio rows rather than self.initial_tokens: language
+        # detection may have overwritten the language token slot
+        rows = tokens[:: self.n_group].astype(np.int32)
+
+        if self._draft_ckv is not None:
+            # speculative greedy: the draft proposes, the target verifies —
+            # emitted tokens are the target's filtered argmax by
+            # construction, so the fused/host parity contract is unchanged
+            from .speculative import SpeculativeEngine
+
+            draft = self.model.draft_model
+            k = getattr(self.model, "draft_k", 4)
+            key = (id(draft), k)
+            if (
+                getattr(self.model, "_spec_engine_key", None) != key
+                or getattr(self.model, "_spec_engine", None) is None
+            ):
+                self.model._spec_engine = SpeculativeEngine(
+                    self.model, draft, k=k
+                )
+                self.model._spec_engine_key = key
+            (
+                out_tokens,
+                n_tokens,
+                sum_logprobs,
+                no_speech_prob,
+                ftok,
+                fscore,
+                flen,
+                fcount,
+            ) = self.model._spec_engine.run(
+                rows,
+                self.inference.ck,
+                self.inference.cv,
+                self._draft_ckv[0],
+                self._draft_ckv[1],
+                **common,
+            )
+        else:
+            (
+                out_tokens,
+                n_tokens,
+                sum_logprobs,
+                no_speech_prob,
+                ftok,
+                fscore,
+                flen,
+                fcount,
+            ) = engine.run(
+                rows,
+                self.inference.ck,
+                self.inference.cv,
+                n_group=self.n_group,
+                beam_search=beam_search,
+                max_candidates=(
+                    self.decoder.max_candidates if beam_search else 0
+                ),
+                # a fresh seed matters only when the sampling branch can
+                # execute; at temperature 0 a fixed seed keeps the engine's
+                # device-scalar cache to one entry instead of one per window
+                rng_seed=(
+                    np.random.randint(0, 2**31 - 1)
+                    if self.options.temperature > 0
+                    else 0
+                ),
+                **common,
+            )
 
         n = int(n_tokens)
         tokens = out_tokens[:, :n].astype(np.int64)  # (n_audio*n_group, n)
@@ -790,6 +848,13 @@ class DecodingTask:
             ]
 
         self.inference.set_audio_features(audio_features, cross_kv)
+
+        # speculative decoding: the draft shares this window's mel (enforced
+        # by set_draft_model), so its cross-K/V is one more encode pass
+        self._draft_ckv = None
+        if cross_kv is not None and self._can_speculate():
+            _, dck, dcv = self.model.draft_model.encode_with_cross_kv(mel)
+            self._draft_ckv = (dck, dcv)
 
         tokens = np.repeat(tokens, self.n_group, axis=0)
 

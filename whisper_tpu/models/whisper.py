@@ -269,6 +269,39 @@ class Whisper:
             (int(l), int(h)) for l, h in np.argwhere(mask)
         ]
 
+    def set_draft_model(self, draft, k: int = 4):
+        """Attach a draft model for speculative greedy decoding.
+
+        With a draft installed, decode()/transcribe() run their greedy
+        temperature-0 attempts through the speculative engine
+        (whisper_tpu/speculative.py) — the draft proposes `k` tokens per
+        round, this model verifies all of them in one decoder pass; emitted
+        tokens are identical to plain greedy by construction. The t > 0
+        fallback ladder and beam search automatically use the plain engine.
+
+        The transcribe() path feeds both models from one mel, so the draft
+        must share this model's n_mels (true for distil-style drafts; an
+        80-mel tiny drafting a 128-mel v3 target works at the engine level
+        via frontend.clip_frontend_spec, not through transcribe()).
+        """
+        if draft is None:
+            self.draft_model = None
+            return
+        if draft.dims.n_vocab != self.dims.n_vocab:
+            raise ValueError(
+                "draft must share the tokenizer/vocab "
+                f"({draft.dims.n_vocab} vs {self.dims.n_vocab})"
+            )
+        if draft.dims.n_mels != self.dims.n_mels:
+            raise ValueError(
+                "transcribe()-level speculation feeds both models one mel; "
+                f"draft n_mels {draft.dims.n_mels} != {self.dims.n_mels} "
+                "(use SpeculativeEngine + clip_frontend_spec directly)"
+            )
+        self.draft_model = draft
+        self.draft_k = int(k)
+        self._spec_engine = None  # rebuilt lazily by the decoding task
+
     # ---- high-level API (bound in __init__ to avoid circular imports) --------
 
     def decode(self, mel, options=None, **kwargs):
