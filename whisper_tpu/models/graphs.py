@@ -858,12 +858,23 @@ def decode_chunk(dec, tokens_k, pos, cache, ck, cv, *, n_head, active=None):
 
     Returns (logits (B, K, V) f32 for positions pos+1 .. pos+K, new cache).
     Greedy/speculative only: no beam row_map support.
+
+    Like decode_step, `blocks`/`ck`/`cv` may arrive PRE-SLICED as per-layer
+    tuples and `cache` as a per-layer tuple of (2, B, C, d) arrays: inside
+    the speculative while-loops, scan's per-layer xs slices re-materialize
+    every iteration (the same ~76 us/step copy chain HLO-profiled on the
+    fused loop), so the spec engine hoists the slicing outside the loop.
     """
     blocks = dec["blocks"]
-    dtype = blocks["attn_q_b"].dtype
+    presliced = isinstance(blocks, (list, tuple))
+    dtype = (blocks[0] if presliced else blocks)["attn_q_b"].dtype
     B, K = tokens_k.shape
     d = dec["tok_emb"].shape[1]
-    L, _, _, C, _ = cache.shape
+    tuple_cache = isinstance(cache, (list, tuple))
+    if tuple_cache:
+        L, C = len(cache), cache[0].shape[2]
+    else:
+        L, _, _, C, _ = cache.shape
     dh = d // n_head
     pos = pos.astype(jnp.int32)
 
@@ -912,7 +923,20 @@ def decode_chunk(dec, tokens_k, pos, cache, ck, cv, *, n_head, active=None):
         x = x + _mlp(x, blk)
         return x, jnp.stack([k, v])  # (2, B, K, d)
 
-    x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))  # kv (L,2,B,K,d)
+    if presliced or tuple_cache or L <= 8:
+        # unrolled Python loop over layers: loop-invariant weight operands
+        # (see the decode_step comment — scan xs slices survive as kLoop
+        # fusions inside an enclosing while body)
+        new_slots = []
+        for l in range(L):
+            blk_l = blocks[l] if presliced else jax.tree.map(lambda a: a[l], blocks)
+            x, kv_l = block(
+                x, (blk_l, cache[l], ckv_layer(ck, l), ckv_layer(cv, l))
+            )
+            new_slots.append(kv_l)  # each (2, B, K, d)
+        new_kv = None if tuple_cache else jnp.stack(new_slots)
+    else:
+        x, new_kv = jax.lax.scan(block, x, (blocks, cache, ck, cv))  # (L,2,B,K,d)
 
     # scatter the chunk's K/V into per-row slots [pos_b, pos_b+K) with a
     # one-hot einsum (a per-row dynamic_update_slice is a serialized masked
@@ -920,9 +944,23 @@ def decode_chunk(dec, tokens_k, pos, cache, ck, cv, *, n_head, active=None):
     onehot = (jnp.arange(C)[None, None, :] == pidx[:, :, None]).astype(dtype)  # (B,K,C)
     if active is not None:
         onehot = onehot * active[:, None, None].astype(dtype)
-    placed = jnp.einsum("lsbkd,bkc->lsbcd", new_kv.astype(cache.dtype), onehot.astype(cache.dtype))
     hit = jnp.sum(onehot, axis=1) > 0  # (B, C)
-    cache = jnp.where(hit[None, None, :, :, None], placed, cache)
+    if tuple_cache:
+        cdt = cache[0].dtype
+        oh = onehot.astype(cdt)
+        cache = tuple(
+            jnp.where(
+                hit[None, :, :, None],
+                jnp.einsum("sbkd,bkc->sbcd", new_slots[l].astype(cdt), oh),
+                cache[l],
+            )
+            for l in range(L)
+        )
+    else:
+        placed = jnp.einsum(
+            "lsbkd,bkc->lsbcd", new_kv.astype(cache.dtype), onehot.astype(cache.dtype)
+        )
+        cache = jnp.where(hit[None, None, :, :, None], placed, cache)
 
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     return hidden_to_logits(dec, x), cache

@@ -107,15 +107,50 @@ def fused_decode_spec(
         )
         d = dec["tok_emb"].shape[1]
         L = kv.shape[0]
-        cache = jax.lax.dynamic_update_slice(
-            jnp.zeros((L, 2, A, n_ctx, d), dtype=cache_dtype),
-            kv.astype(cache_dtype),
-            (0, 0, 0, 0, 0),
-        )
+        if L <= 8:
+            # per-layer tuple carry: indexing a stacked (L, ...) loop-carried
+            # cache per layer re-materializes a copy chain every iteration
+            # (see graphs.decode_step) — per-layer carries are free to index
+            cache = tuple(
+                jax.lax.dynamic_update_slice(
+                    jnp.zeros((2, A, n_ctx, d), dtype=cache_dtype),
+                    kv[l].astype(cache_dtype),
+                    (0, 0, 0, 0),
+                )
+                for l in range(L)
+            )
+        else:
+            cache = jax.lax.dynamic_update_slice(
+                jnp.zeros((L, 2, A, n_ctx, d), dtype=cache_dtype),
+                kv.astype(cache_dtype),
+                (0, 0, 0, 0, 0),
+            )
         return hidden, cache
+
+    def presliced(dec, ck, cv):
+        # hoist per-layer weight / cross-K/V slices OUTSIDE the while loops
+        # (mirrors engine_fused.fused_decode; scan xs re-slice per iteration)
+        L = (
+            dec["blocks"]["attn_q_w"].shape[0]
+            if not isinstance(dec["blocks"], (list, tuple))
+            else len(dec["blocks"])
+        )
+        if L > 8:
+            return dec, ck, cv
+        dec2 = dict(
+            dec,
+            blocks=tuple(
+                jax.tree.map(lambda a, l=l: a[l], dec["blocks"]) for l in range(L)
+            ),
+        )
+        ck2 = tuple(graphs.ckv_layer(ck, l) for l in range(L))
+        cv2 = tuple(graphs.ckv_layer(cv, l) for l in range(L))
+        return dec2, ck2, cv2
 
     hidden_t, cache_t = prefill_model(dec_t, ck_t, cv_t, n_head_t)
     _, cache_d = prefill_model(dec_d, ck_d, cv_d, n_head_d)
+    step_dec_t, step_ck_t, step_cv_t = presliced(dec_t, ck_t, cv_t)
+    step_dec_d, step_ck_d, step_cv_d = presliced(dec_d, ck_d, cv_d)
 
     first_logits = graphs.hidden_to_logits(dec_t, hidden_t[:, sample_begin - 1])
     sot_logits = graphs.hidden_to_logits(dec_t, hidden_t[:, sot_index])
@@ -156,7 +191,7 @@ def fused_decode_spec(
             active = ~done & (p_d < n + K - 1)
             tok_in = tokens[rows, jnp.clip(p_d, 0, n_ctx - 1)][:, None]  # (A,1)
             logits_d, cache_d = graphs.decode_chunk(
-                dec_d, tok_in, p_d, cache_d, ck_d, cv_d,
+                step_dec_d, tok_in, p_d, cache_d, step_ck_d, step_cv_d,
                 n_head=n_head_d, active=active,
             )
             prop, _ = _greedy_pick(filters(logits_d[:, 0], tokens, p_d + 1))
@@ -175,16 +210,20 @@ def fused_decode_spec(
         vidx = jnp.clip(n[:, None] - 1 + jnp.arange(K + 1)[None, :], 0, n_ctx - 1)
         t_in = tokens[rows[:, None], vidx]  # (A, K+1)
         logits_v, cache_t = graphs.decode_chunk(
-            dec_t, t_in, n - 1, st.cache_t, ck_t, cv_t,
+            step_dec_t, t_in, n - 1, st.cache_t, step_ck_t, step_cv_t,
             n_head=n_head_t, active=~done,
         )
-        g_list, lp_list = [], []
-        for j in range(K + 1):
-            gj, lpj = _greedy_pick(filters(logits_v[:, j], tokens, n + j))
-            g_list.append(gj)
-            lp_list.append(lpj)
-        g = jnp.stack(g_list, axis=1)  # (A, K+1) target argmax per position
-        lp = jnp.stack(lp_list, axis=1)
+        # one BATCHED filter+argmax pass over all K+1 positions: the K+1
+        # sequential (A, V) passes were ~0.3 ms/round of small-op latency;
+        # _apply_filters natively takes a per-row position vector
+        Kp1 = K + 1
+        toks_rep = jnp.repeat(tokens, Kp1, axis=0)  # (A*(K+1), 448)
+        nt_vec = (n[:, None] + jnp.arange(Kp1)[None, :]).reshape(-1)
+        g_flat, lp_flat = _greedy_pick(
+            filters(logits_v.reshape(A * Kp1, -1), toks_rep, nt_vec)
+        )
+        g = g_flat.reshape(A, Kp1)  # (A, K+1) target argmax per position
+        lp = lp_flat.reshape(A, Kp1)
 
         cand = t_in[:, 1:]  # (A, K) the draft's candidates
         match = (g[:, :K] == cand).astype(jnp.int32)
@@ -204,9 +243,11 @@ def fused_decode_spec(
         n_new = n + accept_len
         done_new = done | hit_eot | (n_new >= limit)
 
-        for j in range(K + 1):
-            cj = keep[:, j : j + 1] & (col == (n + j)[:, None])
-            tokens = jnp.where(cj, g[:, j : j + 1], tokens)
+        # single one-hot write of all accepted tokens (at most one j per col)
+        wcol = jnp.clip(n[:, None] + jnp.arange(Kp1)[None, :], 0, n_ctx - 1)
+        sel = keep[:, :, None] & (col[:, None, :] == wcol[:, :, None])  # (A,K+1,448)
+        vals = jnp.einsum("akc,ak->ac", sel.astype(jnp.int32), g)
+        tokens = jnp.where(jnp.any(sel, axis=1), vals, tokens)
         sum_lp = st.sum_logprobs + jnp.sum(jnp.where(keep, lp, 0.0), axis=1)
 
         # the draft's cache is correct through position n+m-1 (it fed the
