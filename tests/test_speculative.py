@@ -270,3 +270,50 @@ def test_set_draft_model_validation(tpu_model, tiny_dims):
         tpu_model.set_draft_model(bad)
     tpu_model.set_draft_model(None)  # clearing always works
     assert tpu_model.draft_model is None
+
+
+def test_spec_int8_runs_and_tracks_fused_int8(tpu_model, draft_model, mel):
+    """int8 weights mode composes with speculation: the draft and target are
+    BOTH quantized and the engine runs deterministically. Exact token
+    equality with the int8 fused STEP loop is NOT guaranteed: the verify
+    chunk computes logits through (B, K+1, d) matmuls whose bf16 accumulation
+    differs from the step loop's (B, 1, d) shapes, so near-tie argmaxes can
+    flip under quantization noise (PARITY.md "int8 decode" — the same reason
+    int8 itself is a documented non-parity serving mode). Guaranteed and
+    asserted here: determinism, and a long common prefix with the fused int8
+    engine (the flips are rare ties, not drift)."""
+    tok = get_tokenizer(tpu_model.is_multilingual, language="en", task="transcribe")
+    mels = mel[None]
+    ck, cv = _cross_kv(tpu_model, mels)
+    dck, dcv = _cross_kv(draft_model, mels)
+    initial = np.array([list(tok.sot_sequence)], np.int32)
+    base = dict(
+        sot_index=0,
+        suppress_ids=[tok.eot],
+        blank_ids=tok.encode(" ") + [tok.eot],
+        max_initial_ts_index=50,
+        sample_len=24,
+        use_timestamps=True,
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+        temperature=0.0,
+    )
+    fused = FusedEngine(tpu_model, weights="int8").run(
+        initial, ck, cv, n_group=1, beam_search=False, max_candidates=0, **base
+    )
+    eng = SpeculativeEngine(tpu_model, draft_model, k=4, weights="int8")
+    spec = eng.run(initial, ck, cv, dck, dcv, **base)
+    spec2 = eng.run(initial, ck, cv, dck, dcv, **base)
+
+    # determinism
+    assert np.array_equal(np.asarray(spec[0]), np.asarray(spec2[0]))
+    assert int(spec[1]) == int(spec2[1])
+
+    # long common prefix with the int8 step loop (>= 2/3 of the shorter run)
+    n = min(int(fused[1]), int(spec[1]))
+    a = np.asarray(fused[0])[0, :n]
+    b = np.asarray(spec[0])[0, :n]
+    agree = int(np.argmin(a == b)) if not np.all(a == b) else n
+    assert agree >= (2 * n) // 3, (agree, n, a.tolist(), b.tolist())

@@ -13,7 +13,10 @@ Token-level parity is BY CONSTRUCTION: every emitted token is the argmax of
 the TARGET model's filtered logits given the same prefix — the draft only
 influences how many positions each verify pass can confirm, never what is
 emitted. tests/test_speculative.py pins spec == fused-greedy for an
-arbitrary draft (including a deliberately useless random one).
+arbitrary draft (including a deliberately useless random one). Precision
+caveat: "the target's logits" here means the verify chunk's numerics; in
+reduced-precision modes (weights='int8') the chunked matmul accumulation
+can flip rare near-tie argmaxes vs the step loop (see PARITY.md).
 
 Greedy (temperature == 0) only: Whisper transcription decodes at t == 0
 first and only re-decodes windows at t > 0 on quality-gate failure
@@ -313,6 +316,7 @@ class SpeculativeEngine:
 
         self._weights_mode = weights or os.environ.get("WHISPER_TPU_WEIGHTS", "")
         self._dec_params = None
+        self._draft_dec_params = None
         self._jitted = {}
         self._mask_cache = {}
         self._scalar_cache = {}
@@ -321,6 +325,19 @@ class SpeculativeEngine:
     # not per window); same for the int8 weights mode
     _scalar = FusedEngine._scalar
     _decoder_params = FusedEngine._decoder_params
+
+    def _draft_decoder_params(self):
+        """The draft decoder tree, quantized alongside the target in int8
+        mode — the draft step is bandwidth-bound on the SAME weight-read
+        economics (its (V, d) logits head dominates its ~75 us roofline)."""
+        if self._draft_dec_params is None:
+            dec = self.draft.params["decoder"]
+            if self._weights_mode == "int8":
+                from .quant import quantize_decoder
+
+                dec = quantize_decoder(dec)
+            self._draft_dec_params = dec
+        return self._draft_dec_params
 
     def _get(self, cfg: FusedConfig):
         if cfg not in self._jitted:
@@ -429,7 +446,7 @@ class SpeculativeEngine:
         with profiling.timed("fused_decode_spec"):
             out = fn(
                 self._decoder_params(),
-                self.draft.params["decoder"],
+                self._draft_decoder_params(),
                 jnp.asarray(toks),
                 self._scalar("int32", n_initial),
                 ck,
