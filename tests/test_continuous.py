@@ -1,0 +1,83 @@
+"""Continuous batching: window-granular admission must not change any
+stream's transcript — every result matches sequential transcribe().
+
+The scheduler invariant under test: a stream's output depends only on its
+own audio/prompt state, never on which other streams shared its lockstep
+rounds or on when it was admitted (tickets queue behind a full slot set and
+enter mid-flight as slots free)."""
+
+import numpy as np
+import pytest
+
+from whisper_tpu.continuous import ContinuousBatcher
+
+
+def _single(model, audio, **kw):
+    return model.transcribe(
+        audio, language="en", temperature=0.0, verbose=None, **kw
+    )
+
+
+def test_continuous_matches_sequential(tpu_model, jfk_audio):
+    a1 = jfk_audio
+    a2 = jfk_audio[16000 * 2 :]
+    cb = ContinuousBatcher(tpu_model, slots=2, language="en", temperature=0.0)
+    t1 = cb.submit(a1)
+    t2 = cb.submit(a2)
+    cb.drain()
+    for t, a in ((t1, a1), (t2, a2)):
+        ref = _single(tpu_model, a)
+        assert cb.result(t)["text"] == ref["text"]
+        assert [s["tokens"] for s in cb.result(t)["segments"]] == [
+            s["tokens"] for s in ref["segments"]
+        ]
+
+
+def test_continuous_staggered_admission(tpu_model, jfk_audio):
+    """slots=1 with three queued streams of different lengths: each enters
+    only when the previous one finishes; mid-drain submission joins the
+    queue. All outputs equal their sequential references."""
+    long_audio = np.concatenate([jfk_audio, jfk_audio])  # 22 s, 2 windows
+    cb = ContinuousBatcher(
+        tpu_model, slots=1, language="en", temperature=0.0, sample_len=24,
+        condition_on_previous_text=False,
+    )
+    t1 = cb.submit(long_audio)
+    t2 = cb.submit(jfk_audio)
+    assert cb.pending() == 2
+    # run one round, then submit a third stream mid-flight
+    assert cb.step()
+    t3 = cb.submit(jfk_audio[16000:])
+    cb.drain()
+    assert cb.pending() == 0
+    for t, a in ((t1, long_audio), (t2, jfk_audio), (t3, jfk_audio[16000:])):
+        ref = _single(
+            tpu_model, a, sample_len=24, condition_on_previous_text=False
+        )
+        assert cb.result(t)["text"] == ref["text"], t
+
+
+def test_continuous_idle_slots_harmless(tpu_model, jfk_audio):
+    """A mostly-empty slot set (1 stream in 3 slots) produces the same
+    transcript as a full sequential run."""
+    cb = ContinuousBatcher(tpu_model, slots=3, language="en", temperature=0.0)
+    t = cb.submit(jfk_audio)
+    cb.drain()
+    assert cb.result(t)["text"] == _single(tpu_model, jfk_audio)["text"]
+
+
+def test_continuous_short_audio_resolves_immediately(tpu_model):
+    cb = ContinuousBatcher(tpu_model, slots=2, language="en")
+    t = cb.submit(np.zeros(4000, np.float32))  # 0.25 s: sub-second discard
+    assert cb.ready(t)
+    assert cb.result(t)["text"] == ""
+    assert cb.step() is False  # nothing to do
+
+
+def test_continuous_result_before_done_raises(tpu_model, jfk_audio):
+    cb = ContinuousBatcher(tpu_model, slots=1, language="en", temperature=0.0)
+    t = cb.submit(jfk_audio)
+    with pytest.raises(KeyError):
+        cb.result(t)
+    cb.drain()
+    assert cb.result(t)["text"]

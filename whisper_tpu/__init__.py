@@ -19,6 +19,7 @@ from .models.params import (
 )
 from .models.registry import ALIGNMENT_HEADS, available_models, download_checkpoint
 from .batch import transcribe_batch, transcribe_chunked
+from .continuous import ContinuousBatcher
 from .streaming import StreamingTranscriber
 from .transcribe import transcribe
 from .version import __version__
@@ -39,6 +40,7 @@ __all__ = [
     "transcribe_batch",
     "transcribe_chunked",
     "StreamingTranscriber",
+    "ContinuousBatcher",
     "__version__",
 ]
 

@@ -44,6 +44,175 @@ class _Stream:
         return self.content_frames - self.seek < SAMPLE_RATE // HOP_LENGTH
 
 
+def _needs_fallback(
+    r: DecodingResult,
+    compression_ratio_threshold,
+    logprob_threshold,
+    no_speech_threshold,
+) -> bool:
+    """The reference's temperature-ladder retry gates
+    (transcribe.py:206-223): retry on compression-ratio or logprob failure
+    unless the window is confidently silent."""
+    needs = (
+        compression_ratio_threshold is not None
+        and r.compression_ratio > compression_ratio_threshold
+    ) or (logprob_threshold is not None and r.avg_logprob < logprob_threshold)
+    if (
+        no_speech_threshold is not None
+        and r.no_speech_prob > no_speech_threshold
+        and logprob_threshold is not None
+        and r.avg_logprob < logprob_threshold
+    ):
+        needs = False
+    return needs
+
+
+def _decode_window_batch(
+    model, mels: np.ndarray, prompts, lang: str, t: float, task: str, decode_options
+):
+    """Decode one lockstep round's windows. Prompts differ per stream ->
+    decode per unique prompt group; for the common serving case (no
+    conditioning or fresh streams) this is one batched fused call.
+    Heterogeneous prompts split the batch into variable-size groups, routed
+    through the host loop so the fused engine (whose compiled graph is keyed
+    on n_audio) doesn't recompile per group."""
+    kwargs = dict(decode_options)
+    if t > 0:
+        kwargs.pop("beam_size", None)
+        kwargs.pop("patience", None)
+    else:
+        kwargs.pop("best_of", None)
+    results: List[Optional[DecodingResult]] = [None] * mels.shape[0]
+    groups = {}
+    for i, p in enumerate(prompts):
+        groups.setdefault(tuple(p), []).append(i)
+    fuse_ok = len(groups) == 1
+    prev_fused = getattr(model, "use_fused_decode", True)
+    model.use_fused_decode = prev_fused and fuse_ok
+    try:
+        for prompt, idxs in groups.items():
+            opts = DecodingOptions(
+                language=lang, task=task, temperature=t,
+                prompt=list(prompt) or None, **kwargs
+            )  # fmt: skip
+            task_obj = DecodingTask(model, opts)
+            out = task_obj.run(mels[np.asarray(idxs)])
+            for i, r in zip(idxs, out):
+                results[i] = r
+    finally:
+        model.use_fused_decode = prev_fused
+    return results
+
+
+def _apply_window_result(
+    model,
+    s: "_Stream",
+    result: DecodingResult,
+    *,
+    language: str,
+    task: str,
+    no_speech_threshold,
+    logprob_threshold,
+    condition_on_previous_text: bool,
+    word_timestamps: bool,
+    prepend_punctuations: str,
+    append_punctuations: str,
+    input_stride: int,
+    time_precision: float,
+):
+    """Apply one decoded window to a stream's state: no-speech skip, segment
+    extraction, seek advance, prompt bookkeeping, optional word timestamps.
+    The per-window subset of transcribe()'s loop (reference
+    transcribe.py:309-426), shared by the lockstep batch transcriber and the
+    continuous batcher (whisper_tpu/continuous.py)."""
+    segment_size = min(N_FRAMES, s.content_frames - s.seek)
+    time_offset = float(s.seek * HOP_LENGTH / SAMPLE_RATE)
+    tokenizer = get_tokenizer(
+        model.is_multilingual,
+        num_languages=model.num_languages,
+        language=language,
+        task=task,
+    )
+
+    if no_speech_threshold is not None:
+        should_skip = result.no_speech_prob > no_speech_threshold
+        if logprob_threshold is not None and result.avg_logprob > logprob_threshold:
+            should_skip = False
+        if should_skip:
+            s.seek += segment_size
+            return
+
+    seek_ref = s.seek
+
+    def make_segment(*, start, end, tokens, result):
+        tokens = [int(t) for t in tokens]
+        text_tokens = [t for t in tokens if t < tokenizer.eot]
+        return {
+            "seek": seek_ref,
+            "start": start,
+            "end": end,
+            "text": tokenizer.decode(text_tokens),
+            "tokens": tokens,
+            "temperature": result.temperature,
+            "avg_logprob": result.avg_logprob,
+            "compression_ratio": result.compression_ratio,
+            "no_speech_prob": result.no_speech_prob,
+        }
+
+    segments, s.seek, single_timestamp_ending = segments_from_tokens(
+        tokens=np.array(result.tokens),
+        tokenizer=tokenizer,
+        result=result,
+        seek=s.seek,
+        segment_size=segment_size,
+        time_offset=time_offset,
+        time_precision=time_precision,
+        input_stride=input_stride,
+        make_segment=make_segment,
+    )
+
+    if word_timestamps:
+        import jax.numpy as jnp
+
+        from .timing import add_word_timestamps
+        from .utils import get_end
+
+        ck1, cv1 = model.cross_kv(jnp.asarray(result.audio_features)[None])
+        add_word_timestamps(
+            segments=segments,
+            model=model,
+            tokenizer=tokenizer,
+            num_frames=segment_size,
+            ck=ck1,
+            cv=cv1,
+            prepend_punctuations=prepend_punctuations,
+            append_punctuations=append_punctuations,
+            last_speech_timestamp=s.last_speech_timestamp,
+        )
+        # transcribe.py's word-level seek rule: resume after the last
+        # spoken word unless the window ended on a lone timestamp
+        if not single_timestamp_ending:
+            last_word_end = get_end(segments)
+            if last_word_end is not None and last_word_end > time_offset:
+                s.seek = round(last_word_end * (SAMPLE_RATE // HOP_LENGTH))
+        last_word_end = get_end(segments)
+        if last_word_end is not None:
+            s.last_speech_timestamp = last_word_end
+
+    for i, segment in enumerate(segments):
+        if segment["start"] == segment["end"] or segment["text"].strip() == "":
+            segment["text"] = ""
+            segment["tokens"] = []
+
+    s.all_segments.extend(
+        {"id": i, **seg}
+        for i, seg in enumerate(segments, start=len(s.all_segments))
+    )
+    s.all_tokens.extend(t for seg in segments for t in seg["tokens"])
+    if not condition_on_previous_text or result.temperature > 0.5:
+        s.prompt_reset_since = len(s.all_tokens)
+
+
 def transcribe_batch(
     model,
     audios: List[Union[str, np.ndarray]],
@@ -133,38 +302,19 @@ def transcribe_batch(
     time_precision = input_stride * HOP_LENGTH / SAMPLE_RATE
 
     def decode_batch(mels: np.ndarray, prompts, lang: str, t: float):
-        kwargs = dict(decode_options)
-        if t > 0:
-            kwargs.pop("beam_size", None)
-            kwargs.pop("patience", None)
-        else:
-            kwargs.pop("best_of", None)
-        # prompts differ per stream -> decode per unique prompt group; for
-        # the common serving case (no conditioning or fresh streams) this is
-        # one batched call
-        results: List[Optional[DecodingResult]] = [None] * mels.shape[0]
-        groups = {}
-        for i, p in enumerate(prompts):
-            groups.setdefault(tuple(p), []).append(i)
-        # heterogeneous prompts split the batch into variable-size groups;
-        # route those through the host loop so the fused engine (whose
-        # compiled graph is keyed on n_audio) doesn't recompile per group
-        fuse_ok = len(groups) == 1
-        prev_fused = getattr(model, "use_fused_decode", True)
-        model.use_fused_decode = prev_fused and fuse_ok
-        try:
-            for prompt, idxs in groups.items():
-                opts = DecodingOptions(
-                    language=lang, task=task, temperature=t,
-                    prompt=list(prompt) or None, **kwargs
-                )  # fmt: skip
-                task_obj = DecodingTask(model, opts)
-                out = task_obj.run(mels[np.asarray(idxs)])
-                for i, r in zip(idxs, out):
-                    results[i] = r
-        finally:
-            model.use_fused_decode = prev_fused
-        return results
+        return _decode_window_batch(model, mels, prompts, lang, t, task, decode_options)
+
+    bookkeeping = dict(
+        task=task,
+        no_speech_threshold=no_speech_threshold,
+        logprob_threshold=logprob_threshold,
+        condition_on_previous_text=condition_on_previous_text,
+        word_timestamps=word_timestamps,
+        prepend_punctuations=prepend_punctuations,
+        append_punctuations=append_punctuations,
+        input_stride=input_stride,
+        time_precision=time_precision,
+    )
 
     while any(not s.done for s in streams):
         # keep EVERY stream in the batch so the compiled graph shapes stay
@@ -206,21 +356,12 @@ def transcribe_batch(
             # per-stream temperature fallback for failed windows only
             for slot, r in zip(positions, sub_results):
                 for t in temperatures[1:]:
-                    needs_fallback = (
-                        compression_ratio_threshold is not None
-                        and r.compression_ratio > compression_ratio_threshold
-                    ) or (
-                        logprob_threshold is not None
-                        and r.avg_logprob < logprob_threshold
-                    )
-                    if (
-                        no_speech_threshold is not None
-                        and r.no_speech_prob > no_speech_threshold
-                        and logprob_threshold is not None
-                        and r.avg_logprob < logprob_threshold
+                    if not _needs_fallback(
+                        r,
+                        compression_ratio_threshold,
+                        logprob_threshold,
+                        no_speech_threshold,
                     ):
-                        needs_fallback = False
-                    if not needs_fallback:
                         break
                     r = decode_batch(
                         mels[slot : slot + 1], [prompts[slot]], lang, t
@@ -231,95 +372,9 @@ def transcribe_batch(
         for s, result in zip(active, results):
             if s.done:
                 continue
-            segment_size = min(N_FRAMES, s.content_frames - s.seek)
-            time_offset = float(s.seek * HOP_LENGTH / SAMPLE_RATE)
-            tokenizer = get_tokenizer(
-                model.is_multilingual,
-                num_languages=model.num_languages,
-                language=stream_language[s.idx],
-                task=task,
+            _apply_window_result(
+                model, s, result, language=stream_language[s.idx], **bookkeeping
             )
-
-            if no_speech_threshold is not None:
-                should_skip = result.no_speech_prob > no_speech_threshold
-                if (
-                    logprob_threshold is not None
-                    and result.avg_logprob > logprob_threshold
-                ):
-                    should_skip = False
-                if should_skip:
-                    s.seek += segment_size
-                    continue
-
-            seek_ref = s.seek
-
-            def make_segment(*, start, end, tokens, result):
-                tokens = [int(t) for t in tokens]
-                text_tokens = [t for t in tokens if t < tokenizer.eot]
-                return {
-                    "seek": seek_ref,
-                    "start": start,
-                    "end": end,
-                    "text": tokenizer.decode(text_tokens),
-                    "tokens": tokens,
-                    "temperature": result.temperature,
-                    "avg_logprob": result.avg_logprob,
-                    "compression_ratio": result.compression_ratio,
-                    "no_speech_prob": result.no_speech_prob,
-                }
-
-            segments, s.seek, single_timestamp_ending = segments_from_tokens(
-                tokens=np.array(result.tokens),
-                tokenizer=tokenizer,
-                result=result,
-                seek=s.seek,
-                segment_size=segment_size,
-                time_offset=time_offset,
-                time_precision=time_precision,
-                input_stride=input_stride,
-                make_segment=make_segment,
-            )
-
-            if word_timestamps:
-                import jax.numpy as jnp
-
-                from .timing import add_word_timestamps
-                from .utils import get_end
-
-                ck1, cv1 = model.cross_kv(jnp.asarray(result.audio_features)[None])
-                add_word_timestamps(
-                    segments=segments,
-                    model=model,
-                    tokenizer=tokenizer,
-                    num_frames=segment_size,
-                    ck=ck1,
-                    cv=cv1,
-                    prepend_punctuations=prepend_punctuations,
-                    append_punctuations=append_punctuations,
-                    last_speech_timestamp=s.last_speech_timestamp,
-                )
-                # transcribe.py's word-level seek rule: resume after the last
-                # spoken word unless the window ended on a lone timestamp
-                if not single_timestamp_ending:
-                    last_word_end = get_end(segments)
-                    if last_word_end is not None and last_word_end > time_offset:
-                        s.seek = round(last_word_end * (SAMPLE_RATE // HOP_LENGTH))
-                last_word_end = get_end(segments)
-                if last_word_end is not None:
-                    s.last_speech_timestamp = last_word_end
-
-            for i, segment in enumerate(segments):
-                if segment["start"] == segment["end"] or segment["text"].strip() == "":
-                    segment["text"] = ""
-                    segment["tokens"] = []
-
-            s.all_segments.extend(
-                {"id": i, **seg}
-                for i, seg in enumerate(segments, start=len(s.all_segments))
-            )
-            s.all_tokens.extend(t for seg in segments for t in seg["tokens"])
-            if not condition_on_previous_text or result.temperature > 0.5:
-                s.prompt_reset_since = len(s.all_tokens)
 
     out = []
     for s in streams:

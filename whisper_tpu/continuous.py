@@ -1,0 +1,266 @@
+"""Continuous batching: a fixed-slot serving scheduler over the lockstep
+batched decoder.
+
+`transcribe_batch` (whisper_tpu/batch.py) requires every stream up front and
+holds the batch until the LONGEST stream finishes — fine for offline jobs,
+wasteful for serving, where requests arrive over time and a 10 s clip should
+not wait on a 10 min one. `ContinuousBatcher` keeps a fixed number of SLOTS
+(the compiled fused-decode graph is keyed on n_audio == slots, so shapes
+never change and nothing recompiles), admits queued requests into slots that
+free up at WINDOW granularity — each 30 s lockstep round, finished streams
+leave, waiting streams enter — and resolves each request the round its
+stream completes.
+
+This is the TPU analog of LLM-serving continuous batching (Orca-style
+iteration-level scheduling), applied at Whisper's natural scheduling quantum:
+the 30 s window. Per-stream semantics are `transcribe_batch`'s (shared
+helpers `_apply_window_result` / `_decode_window_batch` / `_needs_fallback`);
+a stream's transcript does not depend on which other streams shared its
+rounds — pinned by tests/test_continuous.py against transcribe() output.
+
+No reference analog: the reference processes files strictly sequentially
+(/root/reference/whisper/transcribe.py:626-638).
+
+Usage::
+
+    cb = ContinuousBatcher(model, slots=4, language="en")
+    t1 = cb.submit(audio1)          # returns a ticket immediately
+    t2 = cb.submit(audio2)
+    cb.drain()                      # or: while cb.step(): maybe_submit_more()
+    result = cb.result(t1)          # same schema as transcribe()
+"""
+
+from collections import deque
+from typing import Dict, List, Optional, Union
+
+import numpy as np
+
+from .audio import N_FRAMES, N_SAMPLES, log_mel_spectrogram
+from .batch import (
+    _Stream,
+    _apply_window_result,
+    _decode_window_batch,
+    _needs_fallback,
+)
+from .decoding import DecodingResult
+from .tokenizer import get_tokenizer
+from .utils import exact_div
+
+
+class ContinuousBatcher:
+    """Window-granular continuous batching over a fixed slot count.
+
+    Every lockstep round decodes exactly `slots` windows in one fused batched
+    program (idle slots decode silence, discarded), so the graph compiles
+    ONCE per (model, slots, beam) and request admission never changes shapes.
+    Submissions are cheap (host mel); decoding happens in `step()`/`drain()`.
+
+    Single language group per round keeps the fused batch whole; with
+    language=None each stream auto-detects on submission and rounds decode
+    per-language sub-batches (variable sub-batch sizes compile per size —
+    pin `language` for serving deployments that need one compile).
+    `condition_on_previous_text=True` (the default, matching transcribe())
+    makes prompts diverge between streams after their first windows, which
+    routes rounds through the host-loop engine; serving deployments wanting
+    maximum throughput should pass condition_on_previous_text=False, which
+    keeps every round a single fused call.
+    """
+
+    def __init__(
+        self,
+        model,
+        slots: int = 4,
+        *,
+        language: Optional[str] = None,
+        task: str = "transcribe",
+        temperature=(0.0, 0.2, 0.4, 0.6, 0.8, 1.0),
+        compression_ratio_threshold: Optional[float] = 2.4,
+        logprob_threshold: Optional[float] = -1.0,
+        no_speech_threshold: Optional[float] = 0.6,
+        condition_on_previous_text: bool = True,
+        word_timestamps: bool = False,
+        prepend_punctuations: str = "\"'\u201c\u00bf([{-",
+        append_punctuations: str = "\"'.\u3002,\uff0c!\uff01?\uff1f:\uff1a\u201d)]}\u3001",
+        **decode_options,
+    ):
+        if slots < 1:
+            raise ValueError("slots must be >= 1")
+        decode_options.pop("verbose", None)  # signature compat (see batch.py)
+        self.model = model
+        self.slots = slots
+        self.language = language
+        self.task = task
+        self.temperatures = (
+            [temperature] if isinstance(temperature, (int, float)) else list(temperature)
+        )
+        self.compression_ratio_threshold = compression_ratio_threshold
+        self.logprob_threshold = logprob_threshold
+        self.no_speech_threshold = no_speech_threshold
+        self.condition_on_previous_text = condition_on_previous_text
+        self.decode_options = decode_options
+
+        input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
+        from .audio import HOP_LENGTH, SAMPLE_RATE
+
+        self._bookkeeping = dict(
+            task=task,
+            no_speech_threshold=no_speech_threshold,
+            logprob_threshold=logprob_threshold,
+            condition_on_previous_text=condition_on_previous_text,
+            word_timestamps=word_timestamps,
+            prepend_punctuations=prepend_punctuations,
+            append_punctuations=append_punctuations,
+            input_stride=input_stride,
+            time_precision=input_stride * HOP_LENGTH / SAMPLE_RATE,
+        )
+
+        self._queue: deque = deque()  # tickets waiting for a slot
+        self._slot_ticket: List[Optional[int]] = [None] * slots
+        self._streams: Dict[int, _Stream] = {}
+        self._langs: Dict[int, str] = {}
+        self._results: Dict[int, dict] = {}
+        self._next_ticket = 0
+
+    # ------------------------------------------------------------------ API
+
+    def submit(self, audio: Union[str, np.ndarray]) -> int:
+        """Queue one audio (path or waveform) for transcription; returns a
+        ticket for `result()`. Computes the host mel now (cheap, one pass);
+        decoding happens in step()/drain()."""
+        ticket = self._next_ticket
+        self._next_ticket += 1
+        mel = log_mel_spectrogram(audio, self.model.dims.n_mels, padding=N_SAMPLES)
+        s = _Stream(ticket, np.asarray(mel), mel.shape[-1] - N_FRAMES)
+        self._streams[ticket] = s
+        if self.language is not None:
+            self._langs[ticket] = self.language
+        else:
+            _, probs = self.model.detect_language(
+                np.asarray(mel[:, :N_FRAMES], np.float32)
+            )
+            self._langs[ticket] = max(probs, key=probs.get)
+        if s.done:  # sub-second audio: resolves immediately with empty text
+            self._finalize(ticket)
+        else:
+            self._queue.append(ticket)
+        return ticket
+
+    def pending(self) -> int:
+        """Requests not yet resolved (queued + in slots)."""
+        return len(self._streams) - len(self._results)
+
+    def ready(self, ticket: int) -> bool:
+        return ticket in self._results
+
+    def result(self, ticket: int) -> dict:
+        """The transcribe()-schema result dict; raises if not finished."""
+        if ticket not in self._results:
+            raise KeyError(f"ticket {ticket} not finished (call step()/drain())")
+        return self._results[ticket]
+
+    def step(self) -> bool:
+        """Admit queued requests into free slots and run ONE lockstep window
+        round. Returns False when there is nothing left to do."""
+        for i in range(self.slots):
+            if self._slot_ticket[i] is None and self._queue:
+                self._slot_ticket[i] = self._queue.popleft()
+        occupied = [t for t in self._slot_ticket if t is not None]
+        if not occupied:
+            return False
+
+        mels = np.zeros(
+            (self.slots, self.model.dims.n_mels, N_FRAMES), np.float32
+        )
+        prompts: List[List[int]] = [[] for _ in range(self.slots)]
+        for i, ticket in enumerate(self._slot_ticket):
+            if ticket is None:
+                continue
+            s = self._streams[ticket]
+            size = min(N_FRAMES, s.content_frames - s.seek)
+            window = s.mel[:, s.seek : s.seek + size]
+            mels[i, :, : window.shape[-1]] = window
+            if self.condition_on_previous_text:
+                prompts[i] = s.all_tokens[s.prompt_reset_since :]
+
+        # one fused call per language group (one group when language pinned)
+        lang_groups: Dict[str, List[int]] = {}
+        for i, ticket in enumerate(self._slot_ticket):
+            lang = self._langs[ticket] if ticket is not None else None
+            lang_groups.setdefault(lang, []).append(i)
+        if None in lang_groups:
+            # idle slots ride the largest real group to keep its batch whole
+            idle = lang_groups.pop(None)
+            if lang_groups:
+                biggest = max(lang_groups.values(), key=len)
+                biggest.extend(idle)
+
+        results: List[Optional[DecodingResult]] = [None] * self.slots
+        for lang, positions in lang_groups.items():
+            sub = _decode_window_batch(
+                self.model,
+                mels[np.asarray(positions)],
+                [prompts[p] for p in positions],
+                lang,
+                self.temperatures[0],
+                self.task,
+                self.decode_options,
+            )
+            for slot, r in zip(positions, sub):
+                for t in self.temperatures[1:]:
+                    if not _needs_fallback(
+                        r,
+                        self.compression_ratio_threshold,
+                        self.logprob_threshold,
+                        self.no_speech_threshold,
+                    ):
+                        break
+                    r = _decode_window_batch(
+                        self.model,
+                        mels[slot : slot + 1],
+                        [prompts[slot]],
+                        lang,
+                        t,
+                        self.task,
+                        self.decode_options,
+                    )[0]
+                results[slot] = r
+
+        for i, ticket in enumerate(self._slot_ticket):
+            if ticket is None:
+                continue
+            s = self._streams[ticket]
+            _apply_window_result(
+                self.model,
+                s,
+                results[i],
+                language=self._langs[ticket],
+                **self._bookkeeping,
+            )
+            if s.done:
+                self._finalize(ticket)
+                self._slot_ticket[i] = None
+        return True
+
+    def drain(self) -> Dict[int, dict]:
+        """step() until every submitted request has resolved; returns the
+        full ticket -> result mapping."""
+        while self.step():
+            pass
+        return dict(self._results)
+
+    # ------------------------------------------------------------- internal
+
+    def _finalize(self, ticket: int):
+        s = self._streams[ticket]
+        tokenizer = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            language=self._langs[ticket],
+            task=self.task,
+        )
+        self._results[ticket] = dict(
+            text=tokenizer.decode(s.all_tokens),
+            segments=s.all_segments,
+            language=self._langs[ticket],
+        )
+        s.mel = None  # free the host mel
