@@ -341,16 +341,18 @@ class SpeculativeEngine:
 
     def _get(self, cfg: FusedConfig):
         if cfg not in self._jitted:
-            self._jitted[cfg] = jax.jit(
-                partial(
-                    fused_decode_spec,
-                    n_head_t=self.model.dims.n_text_head,
-                    n_head_d=self.draft.dims.n_text_head,
-                    cfg=cfg,
-                    K=self.k,
-                    cache_dtype=self.model.compute_dtype,
-                )
+            fn = partial(
+                fused_decode_spec,
+                n_head_t=self.model.dims.n_text_head,
+                n_head_d=self.draft.dims.n_text_head,
+                cfg=cfg,
+                K=self.k,
+                cache_dtype=self.model.compute_dtype,
             )
+            # partials have no __name__, which files the persistent-cache
+            # entry as 'jit__unknown'; name it so cache hygiene stays legible
+            fn.__name__ = "fused_decode_spec"
+            self._jitted[cfg] = jax.jit(fn)
         return self._jitted[cfg]
 
     def warmup(self, initial_tokens, **kwargs):
