@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""Continuous-batching serving bench: N requests of mixed lengths drain
+through a fixed-slot ContinuousBatcher on the live chip.
+
+Measures the SCHEDULER's value — window-granular slot reuse — not model
+quality (weights are random, so decoding settings are pinned deterministic:
+greedy t=0, no ladder, no conditioning, no-speech gate off). Reports
+makespan, aggregate x-realtime, and per-request completion latency.
+
+Usage: python tools/continuous_bench.py [slots] [n_requests]
+Env:   BENCH_MODEL (default turbo)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("WHISPER_TPU_CACHE_DIR", os.path.join(REPO, ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+from whisper_tpu.continuous import ContinuousBatcher  # noqa: E402
+from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
+
+
+def main():
+    slots = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    model_name = os.environ.get("BENCH_MODEL", "turbo")
+    dims = MODEL_DIMS[model_name]
+    model = Whisper(dims, params=None, name=model_name, compute_dtype="bfloat16")
+
+    rng = np.random.RandomState(0)
+    lengths_s = [30 if i % 2 else 60 for i in range(n_req)]
+    audios = [
+        (rng.randn(sec * 16000) * 0.1).astype(np.float32) for sec in lengths_s
+    ]
+
+    cb = ContinuousBatcher(
+        model,
+        slots=slots,
+        language="en",
+        temperature=0.0,
+        no_speech_threshold=None,
+        condition_on_previous_text=False,
+        sample_len=64,
+    )
+
+    # warmup: drain a throwaway request set so the fused graph for
+    # n_audio == slots (and helper programs) compile outside the timed run
+    t_w = time.perf_counter()
+    for _ in range(slots):
+        cb.submit((rng.randn(2 * 16000) * 0.1).astype(np.float32))
+    cb.drain()
+    warm_s = time.perf_counter() - t_w
+
+    # submit everything up front; admission happens as slots free per round
+    t_submit = time.perf_counter()
+    tickets = [cb.submit(a) for a in audios]
+    done_at = {}
+    t0 = time.perf_counter()
+    rounds = 0
+    while cb.step():
+        rounds += 1
+        now = time.perf_counter() - t0
+        for t in tickets:
+            if cb.ready(t) and t not in done_at:
+                done_at[t] = now
+    makespan = time.perf_counter() - t0
+    total_audio = sum(lengths_s)
+    lats = sorted(done_at.values())
+    print(
+        json.dumps(
+            {
+                "model": model_name,
+                "slots": slots,
+                "requests": n_req,
+                "audio_seconds": total_audio,
+                "rounds": rounds,
+                "makespan_s": round(makespan, 3),
+                "aggregate_rtfx": round(total_audio / max(makespan, 1e-9), 1),
+                "latency_mean_s": round(float(np.mean(lats)), 3),
+                "latency_p95_s": round(float(np.percentile(lats, 95)), 3),
+                "submit_overhead_s": round(t0 - t_submit, 3),
+                "warmup_s": round(warm_s, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
