@@ -81,3 +81,20 @@ def test_continuous_result_before_done_raises(tpu_model, jfk_audio):
         cb.result(t)
     cb.drain()
     assert cb.result(t)["text"]
+
+
+def test_continuous_word_timestamps(tpu_model, jfk_audio):
+    """word_timestamps flows through the shared bookkeeping: words match
+    sequential transcribe()'s exactly."""
+    cb = ContinuousBatcher(
+        tpu_model, slots=2, language="en", temperature=0.0, word_timestamps=True
+    )
+    t = cb.submit(jfk_audio)
+    cb.drain()
+    ref = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, word_timestamps=True,
+        verbose=None,
+    )
+    got = cb.result(t)["segments"]
+    want = ref["segments"]
+    assert [s.get("words") for s in got] == [s.get("words") for s in want]
