@@ -115,3 +115,47 @@ def test_dp_engine_int8_matches_single_device_int8(tpu_model, mesh8):
     n = int(ref[1])
     assert int(dp[1]) == n
     assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
+
+
+def test_dp_speculative_matches_single_device(tpu_model, mesh8):
+    """Sharded speculative greedy decode == single-device speculative decode
+    token-for-token on the virtual (dp=4, tp=2) mesh — both models' weights
+    sharded, draft proposals and verify passes running under GSPMD."""
+    from whisper_tpu.models.dims import ModelDimensions
+    from whisper_tpu.models import Whisper
+    from whisper_tpu.parallel.serve import DataParallelSpeculativeEngine
+    from whisper_tpu.speculative import SpeculativeEngine
+
+    d = tpu_model.dims
+    draft_dims = ModelDimensions(
+        n_mels=d.n_mels, n_audio_ctx=d.n_audio_ctx, n_audio_state=64,
+        n_audio_head=2, n_audio_layer=1, n_vocab=d.n_vocab, n_text_ctx=448,
+        n_text_state=64, n_text_head=2, n_text_layer=1,
+    )  # fmt: skip
+    draft = Whisper(draft_dims, params=None, name="dp-draft", compute_dtype="float32")
+
+    A = 4
+    rng = np.random.RandomState(5)
+    mel = (rng.randn(A, d.n_mels, 3000) * 0.5).astype(np.float32)
+    ck, cv = tpu_model.cross_kv(tpu_model.encode(mel))
+    dck, dcv = draft.cross_kv(draft.encode(mel))
+
+    kwargs = dict(
+        sot_index=0, suppress_ids=[11, 220], blank_ids=[220, 50257],
+        max_initial_ts_index=50, sample_len=12, use_timestamps=True,
+        temperature=0.0, eot=50257, timestamp_begin=50365,
+        no_timestamps=50364, no_speech=50363,
+    )  # fmt: skip
+    initial = np.tile(np.array([[50258, 50259, 50359]], np.int32), (A, 1))
+
+    ref = SpeculativeEngine(tpu_model, draft, k=3).run(
+        initial, ck, cv, dck, dcv, **kwargs
+    )
+    dp = DataParallelSpeculativeEngine(tpu_model, draft, mesh8, k=3).run(
+        initial, ck, cv, dck, dcv, **kwargs
+    )
+
+    n = int(ref[1])
+    assert int(dp[1]) == n
+    assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(dp[2]), np.asarray(ref[2]), atol=1e-4)

@@ -25,6 +25,7 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..engine_fused import FusedConfig, FusedEngine
+from ..speculative import SpeculativeEngine
 from .sharding import param_shardings
 
 
@@ -90,3 +91,40 @@ def dp_cross_kv(model, mesh: Mesh):
         in_shardings=(dec_sharding, NamedSharding(mesh, P("dp", None, None))),
         out_shardings=NamedSharding(mesh, P(None, "dp", "tp", None, None)),
     )
+
+
+class DataParallelSpeculativeEngine(SpeculativeEngine):
+    """SpeculativeEngine whose compiled program shards BOTH models' weights
+    (megatron-style over `tp`) and the audio batch over `dp`. Decoding
+    semantics and cfg construction are inherited so the sharded engine can
+    never silently diverge from the single-device speculative path
+    (token-identity pinned on the virtual mesh, tests/test_parallel.py)."""
+
+    def __init__(self, model, draft_model, mesh: Mesh, k: int = 4, weights: str = ""):
+        super().__init__(model, draft_model, k=k, weights=weights)
+        self.mesh = mesh
+
+    def _jit_options(self, cfg) -> dict:
+        mesh = self.mesh
+        dp = mesh.shape.get("dp", 1)
+        assert cfg.n_audio % dp == 0, f"n_audio={cfg.n_audio} not divisible by dp={dp}"
+        dec_t = param_shardings(self._decoder_params(), mesh)
+        dec_d = param_shardings(self._draft_decoder_params(), mesh)
+        repl = NamedSharding(mesh, P())
+        ckv = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+        in_shardings = (
+            dec_t,
+            dec_d,
+            NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
+            repl,  # sample_begin
+            ckv,  # ck_t
+            ckv,  # cv_t
+            ckv,  # ck_d
+            ckv,  # cv_d
+            repl,  # sot_index
+            repl,  # suppress mask
+            repl,  # blank mask
+            repl,  # max_initial_ts_index
+            repl,  # sample_len
+        )
+        return {"in_shardings": in_shardings}

@@ -339,6 +339,12 @@ class SpeculativeEngine:
             self._draft_dec_params = dec
         return self._draft_dec_params
 
+    def _jit_options(self, cfg: FusedConfig) -> dict:
+        """Extra jax.jit kwargs; subclass hook for the sharded engine
+        (parallel.serve.DataParallelSpeculativeEngine), mirroring
+        FusedEngine._jit_options."""
+        return {}
+
     def _get(self, cfg: FusedConfig):
         if cfg not in self._jitted:
             fn = partial(
@@ -352,7 +358,7 @@ class SpeculativeEngine:
             # partials have no __name__, which files the persistent-cache
             # entry as 'jit__unknown'; name it so cache hygiene stays legible
             fn.__name__ = "fused_decode_spec"
-            self._jitted[cfg] = jax.jit(fn)
+            self._jitted[cfg] = jax.jit(fn, **self._jit_options(cfg))
         return self._jitted[cfg]
 
     def warmup(self, initial_tokens, **kwargs):
