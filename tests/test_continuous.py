@@ -98,3 +98,24 @@ def test_continuous_word_timestamps(tpu_model, jfk_audio):
     got = cb.result(t)["segments"]
     want = ref["segments"]
     assert [s.get("words") for s in got] == [s.get("words") for s in want]
+
+
+def test_continuous_device_mel_matches_host(tpu_model, jfk_audio, monkeypatch):
+    """Device-mel submissions (one upload + device window slices per round)
+    produce the same transcripts as the host numpy mel path."""
+    def run():
+        cb = ContinuousBatcher(tpu_model, slots=2, language="en", temperature=0.0)
+        t1 = cb.submit(jfk_audio)
+        t2 = cb.submit(jfk_audio[16000 * 3 :])
+        cb.drain()
+        return [cb.result(t) for t in (t1, t2)]
+
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "0")
+    host = run()
+    monkeypatch.setenv("WHISPER_TPU_DEVICE_MEL", "1")
+    dev = run()
+    for a, b in zip(dev, host):
+        assert a["text"] == b["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]

@@ -114,6 +114,16 @@ class ContinuousBatcher:
             time_precision=input_stride * HOP_LENGTH / SAMPLE_RATE,
         )
 
+        from .transcribe import _use_device_mel
+
+        # device mel (TPU default): submit computes the stream's full mel ON
+        # DEVICE (one int16 upload + one program, ~ms) instead of the host
+        # numpy mel (~0.9 s per minute of audio — measured dominating the
+        # serving bench's submit path); per-round windows are then device
+        # slices stacked on device. WHISPER_TPU_DEVICE_MEL=0/1 overrides.
+        self._device_mel = _use_device_mel()
+        self._zero_window = None  # cached (n_mels, N_FRAMES) device zeros
+
         self._queue: deque = deque()  # tickets waiting for a slot
         self._slot_ticket: List[Optional[int]] = [None] * slots
         self._streams: Dict[int, _Stream] = {}
@@ -129,15 +139,28 @@ class ContinuousBatcher:
         decoding happens in step()/drain()."""
         ticket = self._next_ticket
         self._next_ticket += 1
-        mel = log_mel_spectrogram(audio, self.model.dims.n_mels, padding=N_SAMPLES)
-        s = _Stream(ticket, np.asarray(mel), mel.shape[-1] - N_FRAMES)
+        if self._device_mel:
+            from .audio import load_audio
+            from .ops.stft import device_mel_full, device_mel_window
+
+            wav = load_audio(audio) if isinstance(audio, str) else np.asarray(
+                audio, np.float32
+            )
+            dmel, content_frames = device_mel_full(wav, self.model.dims.n_mels)
+            s = _Stream(ticket, None, content_frames)
+            s.device_mel = dmel
+            first_window = lambda: device_mel_window(dmel, 0, N_FRAMES)  # noqa: E731
+        else:
+            mel = log_mel_spectrogram(audio, self.model.dims.n_mels, padding=N_SAMPLES)
+            s = _Stream(ticket, np.asarray(mel), mel.shape[-1] - N_FRAMES)
+            first_window = lambda: np.asarray(  # noqa: E731
+                s.mel[:, :N_FRAMES], np.float32
+            )
         self._streams[ticket] = s
         if self.language is not None:
             self._langs[ticket] = self.language
         else:
-            _, probs = self.model.detect_language(
-                np.asarray(mel[:, :N_FRAMES], np.float32)
-            )
+            _, probs = self.model.detect_language(first_window())
             self._langs[ticket] = max(probs, key=probs.get)
         if s.done:  # sub-second audio: resolves immediately with empty text
             self._finalize(ticket)
@@ -168,19 +191,40 @@ class ContinuousBatcher:
         if not occupied:
             return False
 
-        mels = np.zeros(
-            (self.slots, self.model.dims.n_mels, N_FRAMES), np.float32
-        )
         prompts: List[List[int]] = [[] for _ in range(self.slots)]
-        for i, ticket in enumerate(self._slot_ticket):
-            if ticket is None:
-                continue
-            s = self._streams[ticket]
-            size = min(N_FRAMES, s.content_frames - s.seek)
-            window = s.mel[:, s.seek : s.seek + size]
-            mels[i, :, : window.shape[-1]] = window
-            if self.condition_on_previous_text:
-                prompts[i] = s.all_tokens[s.prompt_reset_since :]
+        if self._device_mel:
+            import jax.numpy as jnp
+
+            from .ops.stft import device_mel_window
+
+            if self._zero_window is None:
+                self._zero_window = jnp.zeros(
+                    (self.model.dims.n_mels, N_FRAMES), jnp.float32
+                )
+            rows = []
+            for i, ticket in enumerate(self._slot_ticket):
+                if ticket is None:
+                    rows.append(self._zero_window)
+                    continue
+                s = self._streams[ticket]
+                size = min(N_FRAMES, s.content_frames - s.seek)
+                rows.append(device_mel_window(s.device_mel, s.seek, size))
+                if self.condition_on_previous_text:
+                    prompts[i] = s.all_tokens[s.prompt_reset_since :]
+            mels = jnp.stack(rows)
+        else:
+            mels = np.zeros(
+                (self.slots, self.model.dims.n_mels, N_FRAMES), np.float32
+            )
+            for i, ticket in enumerate(self._slot_ticket):
+                if ticket is None:
+                    continue
+                s = self._streams[ticket]
+                size = min(N_FRAMES, s.content_frames - s.seek)
+                window = s.mel[:, s.seek : s.seek + size]
+                mels[i, :, : window.shape[-1]] = window
+                if self.condition_on_previous_text:
+                    prompts[i] = s.all_tokens[s.prompt_reset_since :]
 
         # one fused call per language group (one group when language pinned)
         lang_groups: Dict[str, List[int]] = {}
@@ -264,3 +308,5 @@ class ContinuousBatcher:
             language=self._langs[ticket],
         )
         s.mel = None  # free the host mel
+        if getattr(s, "device_mel", None) is not None:
+            s.device_mel = None  # free the device mel buffer
