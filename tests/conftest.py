@@ -99,3 +99,8 @@ def jfk_audio():
     from whisper_tpu.audio import load_audio
 
     return load_audio(JFK)
+
+
+@pytest.fixture(scope="session")
+def jfk_flac_path():
+    return str(JFK)

@@ -1,0 +1,78 @@
+"""The JSON-lines socket server: concurrent clients share the continuous
+batcher and each receives the transcript sequential transcribe() produces."""
+
+import json
+import socket
+import threading
+
+import numpy as np
+import pytest
+
+
+def _request(sock_path: str, payload: dict, timeout=120.0) -> dict:
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(timeout)
+    c.connect(sock_path)
+    c.sendall((json.dumps(payload) + "\n").encode())
+    buf = b""
+    while b"\n" not in buf:
+        chunk = c.recv(65536)
+        if not chunk:
+            break
+        buf += chunk
+    c.close()
+    return json.loads(buf.decode())
+
+
+@pytest.fixture()
+def server(tpu_model, tmp_path):
+    from whisper_tpu.server import TranscriptionServer
+
+    sock = str(tmp_path / "wtpu.sock")
+    srv = TranscriptionServer(
+        tpu_model, sock, slots=2, language="en", temperature=0.0
+    )
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    # wait for the socket to bind
+    import time
+
+    for _ in range(100):
+        try:
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            s.connect(sock)
+            s.close()
+            break
+        except OSError:
+            time.sleep(0.05)
+    yield sock, srv
+    srv.shutdown()
+    th.join(timeout=10)
+
+
+def test_server_concurrent_clients(server, tpu_model, jfk_flac_path, jfk_audio):
+    sock, _ = server
+    out = [None, None]
+
+    def client(i):
+        out[i] = _request(sock, {"audio": jfk_flac_path})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=120)
+
+    ref = tpu_model.transcribe(
+        jfk_flac_path, language="en", temperature=0.0, verbose=None
+    )
+    for r in out:
+        assert r is not None and "error" not in r, r
+        assert r["text"] == ref["text"]
+        assert r["language"] == "en"
+
+
+def test_server_bad_requests(server):
+    sock, _ = server
+    assert "error" in _request(sock, {"no_audio": 1})
+    assert "error" in _request(sock, {"audio": "/nonexistent/file.flac"})

@@ -1,0 +1,178 @@
+"""JSON-lines transcription server over the continuous batcher.
+
+The Python analog of the native daemon (`runtime/wtpu_transcribe.cpp
+--serve`), upgraded with continuous batching: concurrent client requests
+share the fixed-slot lockstep decoder (whisper_tpu/continuous.py), so K
+clients cost ~one batched decode per 30 s window round instead of K
+sequential transcriptions.
+
+Protocol (mirrors the native daemon): a client connects to the unix socket,
+sends ONE JSON line, and receives ONE JSON line back:
+
+    -> {"audio": "/path/to/file.flac"}                 (path on the server)
+    <- {"text": "...", "segments": [...], "language": "en"}
+    <- {"error": "..."}                                 (on failure)
+
+Optional request fields: any ContinuousBatcher per-run option is fixed at
+server construction (slots, language, beam size, ...) — per-request options
+would change compiled shapes, defeating the single-compile design.
+
+Threading model: client sockets are read on acceptor threads (pure IO);
+everything that touches JAX — submit (device mel) and the lockstep rounds —
+runs on the single serve_forever() thread. Responses are written by that
+thread as tickets resolve.
+
+Usage:
+
+    python -m whisper_tpu.server /tmp/wtpu.sock --model turbo --slots 4
+    # or programmatically:
+    srv = TranscriptionServer(model, "/tmp/wtpu.sock", slots=4, language="en")
+    srv.serve_forever()
+"""
+
+import json
+import os
+import queue
+import socket
+import threading
+from typing import Dict, Optional
+
+from .continuous import ContinuousBatcher
+
+
+class TranscriptionServer:
+    def __init__(self, model, socket_path: str, slots: int = 4, **batcher_options):
+        self.socket_path = socket_path
+        self.batcher = ContinuousBatcher(model, slots=slots, **batcher_options)
+        self._requests: "queue.Queue" = queue.Queue()  # (conn, payload dict)
+        self._conn_for_ticket: Dict[int, socket.socket] = {}
+        self._stop = threading.Event()
+        self._listener: Optional[socket.socket] = None
+
+    # ------------------------------------------------------------------ IO
+
+    def _acceptor(self):
+        while not self._stop.is_set():
+            try:
+                conn, _ = self._listener.accept()
+            except OSError:
+                return  # listener closed
+            threading.Thread(
+                target=self._read_request, args=(conn,), daemon=True
+            ).start()
+
+    def _read_request(self, conn: socket.socket):
+        try:
+            buf = b""
+            while b"\n" not in buf:
+                chunk = conn.recv(65536)
+                if not chunk:
+                    break
+                buf += chunk
+            payload = json.loads(buf.decode() or "{}")
+        except Exception as e:  # malformed request: answer and close here
+            self._reply(conn, {"error": f"bad request: {e}"})
+            return
+        self._requests.put((conn, payload))
+
+    @staticmethod
+    def _reply(conn: socket.socket, obj: dict):
+        try:
+            conn.sendall((json.dumps(obj) + "\n").encode())
+        except OSError:
+            pass
+        finally:
+            conn.close()
+
+    # ---------------------------------------------------------------- serve
+
+    def _admit(self, block: bool):
+        try:
+            conn, payload = self._requests.get(
+                timeout=0.05 if block else None
+            ) if block else self._requests.get_nowait()
+        except queue.Empty:
+            return
+        audio = payload.get("audio")
+        if not isinstance(audio, str):
+            self._reply(conn, {"error": "request must carry an 'audio' path"})
+            return
+        try:
+            ticket = self.batcher.submit(audio)
+        except Exception as e:
+            self._reply(conn, {"error": f"{type(e).__name__}: {e}"})
+            return
+        if self.batcher.ready(ticket):  # sub-second audio resolves at submit
+            self._reply(conn, self.batcher.result(ticket))
+        else:
+            self._conn_for_ticket[ticket] = conn
+
+    def serve_forever(self):
+        """Bind, accept, and run lockstep rounds until shutdown()."""
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+        self._listener = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        self._listener.bind(self.socket_path)
+        self._listener.listen(64)
+        threading.Thread(target=self._acceptor, daemon=True).start()
+
+        while not self._stop.is_set():
+            # drain every queued request into the batcher, then one round
+            self._admit(block=not self._conn_for_ticket)
+            while not self._requests.empty():
+                self._admit(block=False)
+            if self._conn_for_ticket:
+                self.batcher.step()
+                for ticket in [t for t in self._conn_for_ticket if self.batcher.ready(t)]:
+                    self._reply(
+                        self._conn_for_ticket.pop(ticket), self.batcher.result(ticket)
+                    )
+        self._listener.close()
+        if os.path.exists(self.socket_path):
+            os.unlink(self.socket_path)
+
+    def shutdown(self):
+        self._stop.set()
+        # unblock a pending accept()
+        try:
+            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+            s.connect(self.socket_path)
+            s.close()
+        except OSError:
+            pass
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="continuous-batching transcription server (unix socket)"
+    )
+    parser.add_argument("socket", help="unix socket path to listen on")
+    parser.add_argument("--model", default="turbo")
+    parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--language", default=None)
+    parser.add_argument("--beam_size", type=int, default=None)
+    parser.add_argument("--temperature", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    from . import load_model
+
+    model = load_model(args.model)
+    kw = {}
+    if args.beam_size is not None:
+        kw["beam_size"] = args.beam_size
+    if args.temperature is not None:
+        kw["temperature"] = args.temperature
+    srv = TranscriptionServer(
+        model, args.socket, slots=args.slots, language=args.language, **kw
+    )
+    print(f"serving on {args.socket} (slots={args.slots})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
