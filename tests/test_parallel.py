@@ -67,8 +67,11 @@ def test_dp_engine_matches_single_device(tpu_model, mesh8):
     assert np.array_equal(np.asarray(dp[7]), np.asarray(ref[7]))  # fcount
 
 
-def test_dp_engine_rejects_bad_batch(tpu_model, mesh8):
-    from whisper_tpu.engine_fused import FusedConfig
+def test_dp_engine_indivisible_batch_falls_back_unsharded(tpu_model, mesh8):
+    """A batch the mesh can't split (transcribe()'s per-window n_audio=1
+    fallback under a dp>1 mesh) compiles without sharding annotations —
+    correct output, just not distributed."""
+    from whisper_tpu.engine_fused import FusedConfig, FusedEngine
     from whisper_tpu.parallel.serve import DataParallelEngine
 
     eng = DataParallelEngine(tpu_model, mesh8)
@@ -77,8 +80,25 @@ def test_dp_engine_rejects_bad_batch(tpu_model, mesh8):
         max_candidates=0, eot=50257, timestamp_begin=50365,
         no_timestamps=50364, no_speech=50363,
     )  # fmt: skip
-    with pytest.raises(AssertionError, match="divisible"):
-        eng._get(cfg)
+    assert eng._jit_options(cfg) == {}
+
+    A = 3
+    rng = np.random.RandomState(7)
+    mel = (rng.randn(A, tpu_model.dims.n_mels, 3000) * 0.5).astype(np.float32)
+    ck, cv = tpu_model.cross_kv(tpu_model.encode(mel))
+    kwargs = dict(
+        sot_index=0, suppress_ids=[11, 220], blank_ids=[220, 50257],
+        max_initial_ts_index=50, sample_len=8, n_group=1, beam_search=False,
+        max_candidates=0, use_timestamps=True, temperature=0.0,
+        eot=50257, timestamp_begin=50365, no_timestamps=50364,
+        no_speech=50363, rng_seed=0,
+    )  # fmt: skip
+    initial = np.tile(np.array([[50258, 50259, 50359]], np.int32), (A, 1))
+    ref = FusedEngine(tpu_model).run(initial, ck, cv, **kwargs)
+    dp = eng.run(initial, ck, cv, **kwargs)
+    n = int(ref[1])
+    assert int(dp[1]) == n
+    assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
 
 
 def test_dp_engine_int8_matches_single_device_int8(tpu_model, mesh8):
@@ -159,3 +179,32 @@ def test_dp_speculative_matches_single_device(tpu_model, mesh8):
     assert int(dp[1]) == n
     assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
     np.testing.assert_allclose(np.asarray(dp[2]), np.asarray(ref[2]), atol=1e-4)
+
+
+def test_set_mesh_product_surface(tpu_model, mesh8, jfk_audio):
+    """model.set_mesh(mesh) routes the PRODUCT decode surface through the
+    sharded engine: ContinuousBatcher transcripts are identical with and
+    without the mesh (slots=4 == dp degree, so rounds compile sharded)."""
+    from whisper_tpu.continuous import ContinuousBatcher
+
+    def run():
+        cb = ContinuousBatcher(tpu_model, slots=4, language="en", temperature=0.0)
+        t1 = cb.submit(jfk_audio)
+        t2 = cb.submit(jfk_audio[16000 * 2 :])
+        cb.drain()
+        return [cb.result(t) for t in (t1, t2)]
+
+    plain = run()
+    tpu_model.set_mesh(mesh8)
+    try:
+        from whisper_tpu.parallel.serve import DataParallelEngine
+
+        sharded = run()
+        assert isinstance(tpu_model._fused_engine, DataParallelEngine)
+    finally:
+        tpu_model.set_mesh(None)
+    for a, b in zip(sharded, plain):
+        assert a["text"] == b["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]

@@ -663,7 +663,16 @@ class DecodingTask:
         from .engine_fused import FusedEngine
 
         if getattr(self.model, "_fused_engine", None) is None:
-            self.model._fused_engine = FusedEngine(self.model)
+            mesh = getattr(self.model, "mesh", None)
+            if mesh is not None:
+                # model.set_mesh(mesh): the WHOLE product surface
+                # (decode/transcribe/batch/continuous/server) runs through the
+                # sharded engine — dp over the audio batch, tp over heads
+                from .parallel.serve import DataParallelEngine
+
+                self.model._fused_engine = DataParallelEngine(self.model, mesh)
+            else:
+                self.model._fused_engine = FusedEngine(self.model)
         engine: FusedEngine = self.model._fused_engine
 
         tokenizer = self.tokenizer
@@ -708,14 +717,22 @@ class DecodingTask:
 
             draft = self.model.draft_model
             k = getattr(self.model, "draft_k", 4)
-            key = (id(draft), k)
+            mesh = getattr(self.model, "mesh", None)
+            key = (id(draft), k, id(mesh) if mesh is not None else None)
             if (
                 getattr(self.model, "_spec_engine_key", None) != key
                 or getattr(self.model, "_spec_engine", None) is None
             ):
-                self.model._spec_engine = SpeculativeEngine(
-                    self.model, draft, k=k
-                )
+                if mesh is not None:
+                    from .parallel.serve import DataParallelSpeculativeEngine
+
+                    self.model._spec_engine = DataParallelSpeculativeEngine(
+                        self.model, draft, mesh, k=k
+                    )
+                else:
+                    self.model._spec_engine = SpeculativeEngine(
+                        self.model, draft, k=k
+                    )
                 self.model._spec_engine_key = key
             (
                 out_tokens,

@@ -302,6 +302,19 @@ class Whisper:
         self.draft_k = int(k)
         self._spec_engine = None  # rebuilt lazily by the decoding task
 
+    def set_mesh(self, mesh):
+        """Run this model's whole decode surface — decode()/transcribe()/
+        transcribe_batch/ContinuousBatcher/server — through the sharded
+        engines (parallel/serve.py) over `mesh`: the audio batch splits over
+        the mesh's `dp` axis and attention heads over `tp`. Batches not
+        divisible by dp (e.g. transcribe()'s per-window n_audio=1) compile
+        unsharded — correct, just not distributed — so keep serving batch
+        sizes (ContinuousBatcher slots, transcribe_batch streams) at a
+        multiple of dp. Pass None to restore single-device engines."""
+        self.mesh = mesh
+        self._fused_engine = None  # rebuilt lazily by the decoding task
+        self._spec_engine = None
+
     # ---- high-level API (bound in __init__ to avoid circular imports) --------
 
     def decode(self, mel, options=None, **kwargs):

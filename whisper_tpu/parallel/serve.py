@@ -44,7 +44,13 @@ class DataParallelEngine(FusedEngine):
         never silently diverge from the single-device configuration."""
         mesh = self.mesh
         dp = mesh.shape.get("dp", 1)
-        assert cfg.n_audio % dp == 0, f"n_audio={cfg.n_audio} not divisible by dp={dp}"
+        if cfg.n_audio % dp != 0:
+            # a batch the mesh can't split (e.g. transcribe()'s per-window
+            # n_audio=1 fallback ladder under a dp>1 mesh): compile without
+            # sharding annotations — correct, just not distributed. Serving
+            # paths keep their batches at a multiple of dp for the sharded
+            # compile (ContinuousBatcher slots, transcribe_batch streams).
+            return {}
         # _decoder_params() so the sharding tree matches the arg tree when
         # the engine runs with weight-only int8 decode (extra @scale leaves)
         dec_sharding = param_shardings(self._decoder_params(), mesh)
@@ -107,7 +113,8 @@ class DataParallelSpeculativeEngine(SpeculativeEngine):
     def _jit_options(self, cfg) -> dict:
         mesh = self.mesh
         dp = mesh.shape.get("dp", 1)
-        assert cfg.n_audio % dp == 0, f"n_audio={cfg.n_audio} not divisible by dp={dp}"
+        if cfg.n_audio % dp != 0:
+            return {}  # see DataParallelEngine._jit_options
         dec_t = param_shardings(self._decoder_params(), mesh)
         dec_d = param_shardings(self._draft_decoder_params(), mesh)
         repl = NamedSharding(mesh, P())
