@@ -70,6 +70,12 @@ def load_model(
         checkpoint_path = download_checkpoint(name, download_root)
         alignment_heads = ALIGNMENT_HEADS[name]
         dims, params = _load_torch_checkpoint(checkpoint_path)
+    elif os.path.isdir(name) and os.path.exists(os.path.join(name, "dims.json")):
+        # orbax checkpoint directory (checkpoint.py — e.g. a fine-tuned
+        # model written by whisper_tpu.finetune)
+        from .checkpoint import load_checkpoint
+
+        params, dims, _ = load_checkpoint(name)
     elif os.path.isfile(name):
         if name.endswith(".npz"):
             tree = load_params_npz(name)
