@@ -119,3 +119,40 @@ def test_continuous_device_mel_matches_host(tpu_model, jfk_audio, monkeypatch):
         assert [s["tokens"] for s in a["segments"]] == [
             s["tokens"] for s in b["segments"]
         ]
+
+
+def test_continuous_with_draft_matches_plain(tpu_model, jfk_audio):
+    """Speculative decoding composes with the continuous batcher through
+    DecodingTask: greedy rounds run the spec engine and transcripts stay
+    identical (spec parity is by construction)."""
+    from whisper_tpu.models import Whisper
+    from whisper_tpu.models.dims import ModelDimensions
+
+    d = tpu_model.dims
+    draft = Whisper(
+        ModelDimensions(
+            n_mels=d.n_mels, n_audio_ctx=d.n_audio_ctx, n_audio_state=64,
+            n_audio_head=1, n_audio_layer=1, n_vocab=d.n_vocab, n_text_ctx=448,
+            n_text_state=64, n_text_head=1, n_text_layer=1,
+        ),  # fmt: skip
+        params=None, name="cb-draft", compute_dtype="float32",
+    )
+
+    def run():
+        cb = ContinuousBatcher(tpu_model, slots=2, language="en", temperature=0.0)
+        t1 = cb.submit(jfk_audio)
+        t2 = cb.submit(jfk_audio[16000 * 2 :])
+        cb.drain()
+        return [cb.result(t) for t in (t1, t2)]
+
+    plain = run()
+    tpu_model.set_draft_model(draft, k=4)
+    try:
+        spec = run()
+    finally:
+        tpu_model.set_draft_model(None)
+    for a, b in zip(spec, plain):
+        assert a["text"] == b["text"]
+        assert [s["tokens"] for s in a["segments"]] == [
+            s["tokens"] for s in b["segments"]
+        ]

@@ -96,3 +96,16 @@ def test_finetune_sharded_matches_single_device(tpu_model, mesh8, tmp_path, jfk_
         out_dir=str(tmp_path / "c2"), max_tokens=48, log=lambda *_: None,
     )  # fmt: skip
     np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-5)
+
+
+def test_finetune_eval_loss_logged(tpu_model, tmp_path, jfk_flac_path):
+    records = load_manifest(_manifest(tmp_path, jfk_flac_path, n=4))
+    lines = []
+    run_finetune(
+        tpu_model, records[:2], steps=2, batch_size=2,
+        out_dir=str(tmp_path / "c"), max_tokens=48,
+        eval_manifest=records[2:], eval_every=1, log=lines.append,
+    )  # fmt: skip
+    evals = [ln for ln in lines if "eval_loss" in ln]
+    assert len(evals) == 2
+    assert all(np.isfinite(float(ln.rsplit(" ", 1)[-1])) for ln in evals)

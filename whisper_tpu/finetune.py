@@ -117,16 +117,21 @@ def run_finetune(
     max_tokens: int = 128,
     checkpoint_every: int = 0,
     language: Optional[str] = "en",
+    eval_manifest: Optional[List[dict]] = None,
+    eval_every: int = 0,
     log=print,
     seed: int = 0,
 ) -> List[float]:
     """Train `steps` steps; returns the per-step loss history and writes the
-    final (and optionally periodic) checkpoints to `out_dir`."""
+    final (and optionally periodic) checkpoints to `out_dir`. With
+    `eval_manifest` (+ `eval_every`), logs held-out teacher-forced loss —
+    the shape-stable quality signal (decode-based WER needs real weights to
+    mean anything; tools/eval_wer.py covers that once a checkpoint exists)."""
     import jax
 
     from .checkpoint import save_checkpoint
     from .parallel.mesh import make_mesh
-    from .parallel.train import make_train_step
+    from .parallel.train import loss_fn, make_train_step
 
     if mesh is None:
         mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
@@ -155,6 +160,32 @@ def run_finetune(
         max_tokens=max_tokens,
         seed=seed,
     )
+    eval_fn = eval_batch = None
+    if eval_manifest and eval_every:
+        from functools import partial
+
+        import jax.numpy as jnp  # noqa: F811
+
+        eval_fn = jax.jit(
+            partial(
+                loss_fn,
+                n_audio_head=model.dims.n_audio_head,
+                n_text_head=model.dims.n_text_head,
+            )
+        )
+        # one fixed held-out batch (static shapes; deterministic signal)
+        n_eval = min(len(eval_manifest), batch_size)
+        eval_batch = next(
+            batches(
+                eval_manifest[:n_eval] * max(1, -(-batch_size // n_eval)),
+                tokenizer,
+                n_mels=model.dims.n_mels,
+                batch_size=batch_size,
+                max_tokens=max_tokens,
+                seed=seed + 1,
+            )
+        )
+
     history: List[float] = []
     for step in range(1, steps + 1):
         state, loss = train_step(state, next(it))
@@ -163,6 +194,9 @@ def run_finetune(
             raise FloatingPointError(f"non-finite loss at step {step}: {loss}")
         history.append(loss)
         log(f"step {step}/{steps}  loss {loss:.4f}")
+        if eval_fn is not None and step % eval_every == 0:
+            ev = float(eval_fn(state.params, eval_batch))
+            log(f"step {step}/{steps}  eval_loss {ev:.4f}")
         if checkpoint_every and step % checkpoint_every == 0 and step < steps:
             save_checkpoint(out_dir, jax.device_get(state.params), model.dims, step)
     save_checkpoint(out_dir, jax.device_get(state.params), model.dims, steps)
@@ -182,6 +216,8 @@ def main(argv=None):
     parser.add_argument("--weight_decay", type=float, default=0.01)
     parser.add_argument("--max_tokens", type=int, default=128)
     parser.add_argument("--checkpoint_every", type=int, default=0)
+    parser.add_argument("--eval_manifest", default=None)
+    parser.add_argument("--eval_every", type=int, default=0)
     parser.add_argument("--language", default="en")
     parser.add_argument("--dp", type=int, default=None)
     parser.add_argument("--tp", type=int, default=1)
@@ -206,6 +242,10 @@ def main(argv=None):
         max_tokens=args.max_tokens,
         checkpoint_every=args.checkpoint_every,
         language=args.language,
+        eval_manifest=(
+            load_manifest(args.eval_manifest) if args.eval_manifest else None
+        ),
+        eval_every=args.eval_every,
     )
     print(f"final loss {history[-1]:.4f}; checkpoint at {os.path.abspath(args.out)}")
 
