@@ -43,7 +43,10 @@ from .continuous import ContinuousBatcher
 class TranscriptionServer:
     def __init__(self, model, socket_path: str, slots: int = 4, **batcher_options):
         self.socket_path = socket_path
-        self.batcher = ContinuousBatcher(model, slots=slots, **batcher_options)
+        self._make_batcher = lambda: ContinuousBatcher(
+            model, slots=slots, **batcher_options
+        )
+        self.batcher = self._make_batcher()
         self._requests: "queue.Queue" = queue.Queue()  # (conn, payload dict)
         self._conn_for_ticket: Dict[int, socket.socket] = {}
         self._stop = threading.Event()
@@ -122,7 +125,17 @@ class TranscriptionServer:
             while not self._requests.empty():
                 self._admit(block=False)
             if self._conn_for_ticket:
-                self.batcher.step()
+                try:
+                    self.batcher.step()
+                except Exception as e:  # a failed round must not hang clients
+                    err = {"error": f"decode round failed: {type(e).__name__}: {e}"}
+                    for conn in self._conn_for_ticket.values():
+                        self._reply(conn, err)
+                    self._conn_for_ticket.clear()
+                    # the failed round's streams still occupy slots; start
+                    # clean (jit caches live on the model, so no recompile)
+                    self.batcher = self._make_batcher()
+                    continue
                 for ticket in [t for t in self._conn_for_ticket if self.batcher.ready(t)]:
                     self._reply(
                         self._conn_for_ticket.pop(ticket), self.batcher.result(ticket)
