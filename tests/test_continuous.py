@@ -156,3 +156,15 @@ def test_continuous_with_draft_matches_plain(tpu_model, jfk_audio):
         assert [s["tokens"] for s in a["segments"]] == [
             s["tokens"] for s in b["segments"]
         ]
+
+
+def test_continuous_pop_evicts(tpu_model, jfk_audio):
+    cb = ContinuousBatcher(tpu_model, slots=1, language="en", temperature=0.0)
+    t = cb.submit(jfk_audio)
+    cb.drain()
+    r = cb.pop(t)
+    assert r["text"]
+    assert cb.pending() == 0
+    with pytest.raises(KeyError):
+        cb.result(t)
+    assert not cb._streams and not cb._results and not cb._langs

@@ -86,6 +86,8 @@ class ContinuousBatcher:
         if slots < 1:
             raise ValueError("slots must be >= 1")
         decode_options.pop("verbose", None)  # signature compat (see batch.py)
+        if language is None and not model.is_multilingual:
+            language = "en"  # English-only models have no language tokens
         self.model = model
         self.slots = slots
         self.language = language
@@ -181,6 +183,15 @@ class ContinuousBatcher:
             raise KeyError(f"ticket {ticket} not finished (call step()/drain())")
         return self._results[ticket]
 
+    def pop(self, ticket: int) -> dict:
+        """result() + evict the ticket's state — long-running servers must
+        call this (or result() leaks one stream's segments per request)."""
+        out = self.result(ticket)
+        del self._results[ticket]
+        del self._streams[ticket]
+        del self._langs[ticket]
+        return out
+
     def step(self) -> bool:
         """Admit queued requests into free slots and run ONE lockstep window
         round. Returns False when there is nothing left to do."""
@@ -250,6 +261,13 @@ class ContinuousBatcher:
                 self.decode_options,
             )
             for slot, r in zip(positions, sub):
+                if self._slot_ticket[slot] is None:
+                    # idle slots decode silence whose result is discarded —
+                    # never run the fallback ladder on them (a hallucinated
+                    # silence decode can trip the compression gate, and the
+                    # first retry would compile a fresh n_audio=1 graph)
+                    results[slot] = r
+                    continue
                 for t in self.temperatures[1:]:
                     if not _needs_fallback(
                         r,

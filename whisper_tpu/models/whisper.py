@@ -83,10 +83,15 @@ class Whisper:
             ck, cv = graphs.cross_kv(dec, xa, n_head=n_text_head)
             return xa, ck, cv
 
+        self._encode_ckv_fn = _encode_ckv
         # encoder + cross-KV as ONE program: per decoded window this saves an
         # execute round trip (remote PJRT) and lets XLA overlap the first
         # cross-KV projections with the encoder tail
         self._encode_ckv = jax.jit(_encode_ckv)
+        # sharded variants, built by set_mesh()
+        self._encode_sharded = None
+        self._cross_kv_sharded = None
+        self._encode_ckv_sharded = None
         self._prefill = jax.jit(partial(graphs.prefill, n_head=n_text_head))
         self._decode_step = jax.jit(
             partial(graphs.decode_step, n_head=n_text_head), donate_argnums=(3,)
@@ -98,24 +103,44 @@ class Whisper:
 
     # ---- graph entry points -------------------------------------------------
 
+    def _mesh_pick(self, plain, sharded, batch: int):
+        """The sharded jit when a mesh is set and the batch splits over dp;
+        the plain single-device jit otherwise (transcribe()'s per-window
+        n_audio=1 calls under a dp>1 mesh)."""
+        mesh = getattr(self, "mesh", None)
+        if (
+            sharded is not None
+            and mesh is not None
+            and batch % mesh.shape.get("dp", 1) == 0
+        ):
+            return sharded
+        return plain
+
     def encode(self, mel) -> jax.Array:
         """mel: (B, n_mels, 3000) -> audio features (B, 1500, d)."""
         with profiling.timed("encoder"):
-            out = self._encode(self.params["encoder"], jnp.asarray(mel))
+            mel = jnp.asarray(mel)
+            fn = self._mesh_pick(self._encode, self._encode_sharded, mel.shape[0])
+            out = fn(self.params["encoder"], mel)
             profiling.maybe_block(out)
         return out
 
     def cross_kv(self, xa) -> Tuple[jax.Array, jax.Array]:
         with profiling.timed("cross_kv"):
-            ck, cv = self._cross_kv(self.params["decoder"], xa)
+            fn = self._mesh_pick(self._cross_kv, self._cross_kv_sharded, xa.shape[0])
+            ck, cv = fn(self.params["decoder"], xa)
             profiling.maybe_block(cv)
         return ck, cv
 
     def encode_with_cross_kv(self, mel):
         """mel (B, n_mels, 3000) -> (xa, cK, cV) in one device program."""
         with profiling.timed("encoder"):
-            xa, ck, cv = self._encode_ckv(
-                self.params["encoder"], self.params["decoder"], jnp.asarray(mel)
+            mel = jnp.asarray(mel)
+            fn = self._mesh_pick(
+                self._encode_ckv, self._encode_ckv_sharded, mel.shape[0]
+            )
+            xa, ck, cv = fn(
+                self.params["encoder"], self.params["decoder"], mel
             )
             profiling.maybe_block(cv)
         return xa, ck, cv
@@ -305,15 +330,45 @@ class Whisper:
     def set_mesh(self, mesh):
         """Run this model's whole decode surface — decode()/transcribe()/
         transcribe_batch/ContinuousBatcher/server — through the sharded
-        engines (parallel/serve.py) over `mesh`: the audio batch splits over
-        the mesh's `dp` axis and attention heads over `tp`. Batches not
-        divisible by dp (e.g. transcribe()'s per-window n_audio=1) compile
-        unsharded — correct, just not distributed — so keep serving batch
-        sizes (ContinuousBatcher slots, transcribe_batch streams) at a
-        multiple of dp. Pass None to restore single-device engines."""
+        engines (parallel/serve.py) AND sharded encoder/cross-KV programs
+        over `mesh`: the audio batch splits over the mesh's `dp` axis and
+        attention heads over `tp`. Batches not divisible by dp (e.g.
+        transcribe()'s per-window n_audio=1) compile unsharded — correct,
+        just not distributed — so keep serving batch sizes (ContinuousBatcher
+        slots, transcribe_batch streams) at a multiple of dp. Pass None to
+        restore single-device engines."""
         self.mesh = mesh
         self._fused_engine = None  # rebuilt lazily by the decoding task
         self._spec_engine = None
+        if mesh is None:
+            self._encode_sharded = None
+            self._cross_kv_sharded = None
+            self._encode_ckv_sharded = None
+            return
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ..parallel.sharding import param_shardings
+
+        enc_sh = param_shardings(self.params["encoder"], mesh)
+        dec_sh = param_shardings(self.params["decoder"], mesh)
+        dp3 = NamedSharding(mesh, P("dp", None, None))
+        ckv_out = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+        n_audio_head, n_text_head = self.dims.n_audio_head, self.dims.n_text_head
+        self._encode_sharded = jax.jit(
+            partial(graphs.encode, n_head=n_audio_head),
+            in_shardings=(enc_sh, dp3),
+            out_shardings=dp3,
+        )
+        self._cross_kv_sharded = jax.jit(
+            partial(graphs.cross_kv, n_head=n_text_head),
+            in_shardings=(dec_sh, dp3),
+            out_shardings=(ckv_out, ckv_out),
+        )
+        self._encode_ckv_sharded = jax.jit(
+            self._encode_ckv_fn,
+            in_shardings=(enc_sh, dec_sh, dp3),
+            out_shardings=(dp3, ckv_out, ckv_out),
+        )
 
     # ---- high-level API (bound in __init__ to avoid circular imports) --------
 

@@ -64,16 +64,23 @@ class TranscriptionServer:
                 target=self._read_request, args=(conn,), daemon=True
             ).start()
 
+    REQUEST_TIMEOUT_S = 30.0
+    MAX_REQUEST_BYTES = 1 << 20  # a request is one JSON line with a path
+
     def _read_request(self, conn: socket.socket):
         try:
+            conn.settimeout(self.REQUEST_TIMEOUT_S)
             buf = b""
             while b"\n" not in buf:
                 chunk = conn.recv(65536)
                 if not chunk:
                     break
                 buf += chunk
+                if len(buf) > self.MAX_REQUEST_BYTES:
+                    raise ValueError("request exceeds 1 MiB")
+            conn.settimeout(None)  # the decode may legitimately take longer
             payload = json.loads(buf.decode() or "{}")
-        except Exception as e:  # malformed request: answer and close here
+        except Exception as e:  # malformed/slow request: answer and close here
             self._reply(conn, {"error": f"bad request: {e}"})
             return
         self._requests.put((conn, payload))
@@ -106,7 +113,7 @@ class TranscriptionServer:
             self._reply(conn, {"error": f"{type(e).__name__}: {e}"})
             return
         if self.batcher.ready(ticket):  # sub-second audio resolves at submit
-            self._reply(conn, self.batcher.result(ticket))
+            self._reply(conn, self.batcher.pop(ticket))
         else:
             self._conn_for_ticket[ticket] = conn
 
@@ -137,8 +144,10 @@ class TranscriptionServer:
                     self.batcher = self._make_batcher()
                     continue
                 for ticket in [t for t in self._conn_for_ticket if self.batcher.ready(t)]:
+                    # pop() evicts the ticket's state — a daemon must not
+                    # accumulate one stream's segments per request served
                     self._reply(
-                        self._conn_for_ticket.pop(ticket), self.batcher.result(ticket)
+                        self._conn_for_ticket.pop(ticket), self.batcher.pop(ticket)
                     )
         self._listener.close()
         if os.path.exists(self.socket_path):
