@@ -168,3 +168,15 @@ def test_continuous_pop_evicts(tpu_model, jfk_audio):
     with pytest.raises(KeyError):
         cb.result(t)
     assert not cb._streams and not cb._results and not cb._langs
+
+
+def test_continuous_beam_matches_sequential(tpu_model, jfk_audio):
+    cb = ContinuousBatcher(
+        tpu_model, slots=2, language="en", temperature=0.0, beam_size=2
+    )
+    t = cb.submit(jfk_audio)
+    cb.drain()
+    ref = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, beam_size=2, verbose=None
+    )
+    assert cb.result(t)["text"] == ref["text"]
