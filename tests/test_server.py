@@ -76,3 +76,24 @@ def test_server_bad_requests(server):
     sock, _ = server
     assert "error" in _request(sock, {"no_audio": 1})
     assert "error" in _request(sock, {"audio": "/nonexistent/file.flac"})
+
+
+def test_server_five_clients_two_slots(server, tpu_model, jfk_flac_path):
+    sock, _ = server
+    n = 5
+    out = [None] * n
+
+    def client(i):
+        out[i] = _request(sock, {"audio": jfk_flac_path})
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(n)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+
+    ref = tpu_model.transcribe(
+        jfk_flac_path, language="en", temperature=0.0, verbose=None
+    )
+    assert all(r is not None and "error" not in r for r in out), out
+    assert {r["text"] for r in out} == {ref["text"]}
