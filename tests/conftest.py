@@ -104,3 +104,16 @@ def jfk_audio():
 @pytest.fixture(scope="session")
 def jfk_flac_path():
     return str(JFK)
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    """(dp=4, tp=2) mesh over the 8 virtual CPU devices (conftest forces
+    xla_force_host_platform_device_count=8)."""
+    import jax
+
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    return make_mesh(dp=4, tp=2)

@@ -11,13 +11,6 @@ from whisper_tpu.finetune import PAD_ID, batches, load_manifest, make_example, r
 from whisper_tpu.tokenizer import get_tokenizer
 
 
-@pytest.fixture(scope="module")
-def mesh8():
-    from whisper_tpu.parallel.mesh import make_mesh
-
-    return make_mesh(dp=4, tp=2)
-
-
 def _manifest(tmp_path, jfk_flac_path, n=2):
     path = tmp_path / "manifest.jsonl"
     recs = [

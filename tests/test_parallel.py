@@ -9,15 +9,6 @@ import jax
 from jax.sharding import PartitionSpec as P
 
 
-@pytest.fixture(scope="module")
-def mesh8():
-    from whisper_tpu.parallel.mesh import make_mesh
-
-    if len(jax.devices()) < 8:
-        pytest.skip("needs 8 (virtual) devices")
-    return make_mesh(dp=4, tp=2)
-
-
 def test_param_shardings_tp_rules(tpu_model, mesh8):
     from whisper_tpu.parallel.sharding import shard_params
 

@@ -31,6 +31,7 @@ class _Stream:
         self.last_speech_timestamp = 0.0
         self.idx = idx
         self.mel = mel  # host mel; None when the mel lives on device
+        self.device_mel = None  # per-stream device mel (continuous batcher)
         self.content_frames = content_frames
         self.seek = 0
         self.all_tokens: List[int] = []
@@ -42,6 +43,21 @@ class _Stream:
         # sub-second tails are discarded, as padding them to 30 s causes
         # hallucinations (reference transcribe.py:292-297)
         return self.content_frames - self.seek < SAMPLE_RATE // HOP_LENGTH
+
+
+def _stream_result(model, s: "_Stream", language: str, task: str) -> dict:
+    """A finished stream's transcribe()-schema result dict."""
+    tokenizer = get_tokenizer(
+        model.is_multilingual,
+        num_languages=model.num_languages,
+        language=language,
+        task=task,
+    )
+    return dict(
+        text=tokenizer.decode(s.all_tokens),
+        segments=s.all_segments,
+        language=language,
+    )
 
 
 def _needs_fallback(
@@ -376,22 +392,9 @@ def transcribe_batch(
                 model, s, result, language=stream_language[s.idx], **bookkeeping
             )
 
-    out = []
-    for s in streams:
-        tokenizer = get_tokenizer(
-            model.is_multilingual,
-            num_languages=model.num_languages,
-            language=stream_language[s.idx],
-            task=task,
-        )
-        out.append(
-            dict(
-                text=tokenizer.decode(s.all_tokens),
-                segments=s.all_segments,
-                language=stream_language[s.idx],
-            )
-        )
-    return out
+    return [
+        _stream_result(model, s, stream_language[s.idx], task) for s in streams
+    ]
 
 
 def transcribe_chunked(

@@ -41,9 +41,9 @@ from .batch import (
     _apply_window_result,
     _decode_window_batch,
     _needs_fallback,
+    _stream_result,
 )
 from .decoding import DecodingResult
-from .tokenizer import get_tokenizer
 from .utils import exact_div
 
 
@@ -143,7 +143,7 @@ class ContinuousBatcher:
         self._next_ticket += 1
         if self._device_mel:
             from .audio import load_audio
-            from .ops.stft import device_mel_full, device_mel_window
+            from .ops.stft import device_mel_full
 
             wav = load_audio(audio) if isinstance(audio, str) else np.asarray(
                 audio, np.float32
@@ -151,18 +151,22 @@ class ContinuousBatcher:
             dmel, content_frames = device_mel_full(wav, self.model.dims.n_mels)
             s = _Stream(ticket, None, content_frames)
             s.device_mel = dmel
-            first_window = lambda: device_mel_window(dmel, 0, N_FRAMES)  # noqa: E731
         else:
             mel = log_mel_spectrogram(audio, self.model.dims.n_mels, padding=N_SAMPLES)
             s = _Stream(ticket, np.asarray(mel), mel.shape[-1] - N_FRAMES)
-            first_window = lambda: np.asarray(  # noqa: E731
-                s.mel[:, :N_FRAMES], np.float32
-            )
         self._streams[ticket] = s
         if self.language is not None:
             self._langs[ticket] = self.language
         else:
-            _, probs = self.model.detect_language(first_window())
+            # detect on the stream's full first window (incl. its real
+            # silence-mel padding — the host path's mel[:, :N_FRAMES])
+            if self._device_mel:
+                from .ops.stft import device_mel_window
+
+                first = device_mel_window(s.device_mel, 0, N_FRAMES)
+            else:
+                first = np.asarray(s.mel[:, :N_FRAMES], np.float32)
+            _, probs = self.model.detect_language(first)
             self._langs[ticket] = max(probs, key=probs.get)
         if s.done:  # sub-second audio: resolves immediately with empty text
             self._finalize(ticket)
@@ -314,17 +318,8 @@ class ContinuousBatcher:
 
     def _finalize(self, ticket: int):
         s = self._streams[ticket]
-        tokenizer = get_tokenizer(
-            self.model.is_multilingual,
-            num_languages=self.model.num_languages,
-            language=self._langs[ticket],
-            task=self.task,
-        )
-        self._results[ticket] = dict(
-            text=tokenizer.decode(s.all_tokens),
-            segments=s.all_segments,
-            language=self._langs[ticket],
+        self._results[ticket] = _stream_result(
+            self.model, s, self._langs[ticket], self.task
         )
         s.mel = None  # free the host mel
-        if getattr(s, "device_mel", None) is not None:
-            s.device_mel = None  # free the device mel buffer
+        s.device_mel = None  # free the device mel buffer

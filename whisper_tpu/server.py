@@ -98,9 +98,10 @@ class TranscriptionServer:
 
     def _admit(self, block: bool):
         try:
-            conn, payload = self._requests.get(
-                timeout=0.05 if block else None
-            ) if block else self._requests.get_nowait()
+            if block:
+                conn, payload = self._requests.get(timeout=0.05)
+            else:
+                conn, payload = self._requests.get_nowait()
         except queue.Empty:
             return
         audio = payload.get("audio")
