@@ -317,3 +317,40 @@ def test_spec_int8_runs_and_tracks_fused_int8(tpu_model, draft_model, mel):
     b = np.asarray(spec[0])[0, :n]
     agree = int(np.argmin(a == b)) if not np.all(a == b) else n
     assert agree >= (2 * n) // 3, (agree, n, a.tolist(), b.tolist())
+
+
+def test_engine_rejects_overlong_prompt(tpu_model, draft_model):
+    """Prompts past the 256-token prefill window must raise, not silently
+    truncate (both engines; the step-0 logits would come from the wrong
+    position)."""
+    from whisper_tpu.models.graphs import PREFILL_LEN
+
+    bad = np.zeros((1, PREFILL_LEN + 10), np.int32)
+    kw = dict(
+        sot_index=0, suppress_ids=[1], blank_ids=[1], max_initial_ts_index=50,
+        sample_len=8, use_timestamps=False, temperature=0.0, eot=50257,
+        timestamp_begin=50365, no_timestamps=50364, no_speech=50363,
+    )  # fmt: skip
+    with pytest.raises(ValueError, match="prefill"):
+        FusedEngine(tpu_model).run(
+            bad, None, None, n_group=1, beam_search=False, max_candidates=0, **kw
+        )
+    with pytest.raises(ValueError, match="prefill"):
+        SpeculativeEngine(tpu_model, draft_model, k=4).run(
+            bad, None, None, None, None, **kw
+        )
+
+
+def test_spec_rejects_overlong_sample_len(tpu_model, draft_model):
+    """sample_len that would hit the K+1 verify headroom must raise rather
+    than silently emit fewer tokens than FusedEngine would."""
+    initial = np.zeros((1, 100), np.int32)
+    kw = dict(
+        sot_index=0, suppress_ids=[1], blank_ids=[1], max_initial_ts_index=50,
+        sample_len=348, use_timestamps=False, temperature=0.0, eot=50257,
+        timestamp_begin=50365, no_timestamps=50364, no_speech=50363,
+    )  # fmt: skip
+    with pytest.raises(ValueError, match="K - 1"):
+        SpeculativeEngine(tpu_model, draft_model, k=4).run(
+            initial, None, None, None, None, **kw
+        )

@@ -44,7 +44,6 @@ class FusedConfig(NamedTuple):
     timestamp_begin: int
     no_timestamps: int
     no_speech: int
-    sot_index_is_dynamic: bool = True
     # run the whole per-step beam update (filters + top-k + ranking +
     # finished pool) as ONE Pallas kernel instead of ~25 XLA ops; measured
     # speed-neutral (the cost is real full-vocab VPU passes, TODO.md) so it
@@ -717,6 +716,46 @@ class FusedEngine:
             self._dec_params = dec
         return self._dec_params
 
+    def _prepare_inputs(self, initial_tokens, suppress_ids, blank_ids):
+        """Shared run() input prep for the fused and speculative engines:
+        2D-ify + validate the initial tokens, build the padded 448-token
+        block, and populate the per-value suppress/blank device-mask cache.
+        Returns (initial_tokens, n_audio, n_initial, toks, suppress, blank)."""
+        V = self.model.dims.n_vocab
+        n_ctx = graphs.CACHE_SLOTS
+        # initial_tokens: one token list shared by all audios, or an
+        # (n_audio, len) array (rows may differ e.g. after language detection)
+        initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
+        if initial_tokens.ndim == 1:
+            initial_tokens = initial_tokens[None, :]
+        n_audio, n_initial = initial_tokens.shape
+        if n_initial > graphs.PREFILL_LEN:
+            # the prefill graph reads only the first PREFILL_LEN tokens; a
+            # longer prompt would be SILENTLY truncated and the step-0
+            # logits taken from the wrong position (the reference caps
+            # prompts at n_text_ctx//2-1 = 223, transcribe.py:242)
+            raise ValueError(
+                f"initial tokens ({n_initial}) exceed the "
+                f"{graphs.PREFILL_LEN}-token prefill window; trim the prompt"
+            )
+        toks = np.zeros((n_audio, n_ctx), dtype=np.int32)
+        toks[:, :n_initial] = initial_tokens
+        mask_key = (tuple(suppress_ids), tuple(blank_ids), V)
+        if mask_key not in self._mask_cache:
+            suppress_mask = np.zeros(V, dtype=bool)
+            suppress_mask[list(suppress_ids)] = True
+            blank_mask = np.zeros(V, dtype=bool)
+            blank_mask[list(blank_ids)] = True
+            self._mask_cache[mask_key] = (
+                jnp.asarray(suppress_mask),
+                jnp.asarray(blank_mask),
+            )
+        suppress_mask, blank_mask = self._mask_cache[mask_key]
+        return (
+            initial_tokens, n_audio, n_initial,
+            jnp.asarray(toks), suppress_mask, blank_mask,
+        )
+
     def _jit_options(self, cfg: FusedConfig) -> dict:
         """Extra jax.jit kwargs (e.g. in_shardings); subclass hook so the
         sharded engine reuses the exact same cfg/bucket/kernel logic."""
@@ -783,14 +822,10 @@ class FusedEngine:
     ):
         import os
 
-        V = self.model.dims.n_vocab
         n_ctx = graphs.CACHE_SLOTS
-        # initial_tokens: one token list shared by all audios, or an
-        # (n_audio, len) array (rows may differ e.g. after language detection)
-        initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
-        if initial_tokens.ndim == 1:
-            initial_tokens = initial_tokens[None, :]
-        n_audio, n_initial = initial_tokens.shape
+        (
+            initial_tokens, n_audio, n_initial, toks, suppress_mask, blank_mask,
+        ) = self._prepare_inputs(initial_tokens, suppress_ids, blank_ids)
 
         # The single-pass fused-update Pallas kernel (tiled region sweeps:
         # running top-K + streaming logsumexp in ~2 vocab passes instead of
@@ -821,26 +856,12 @@ class FusedEngine:
         )
         fn = self._get(cfg)
 
-        toks = np.zeros((n_audio, n_ctx), dtype=np.int32)
-        toks[:, :n_initial] = initial_tokens
-        mask_key = (tuple(suppress_ids), tuple(blank_ids), V)
-        if mask_key not in self._mask_cache:
-            suppress_mask = np.zeros(V, dtype=bool)
-            suppress_mask[list(suppress_ids)] = True
-            blank_mask = np.zeros(V, dtype=bool)
-            blank_mask[list(blank_ids)] = True
-            self._mask_cache[mask_key] = (
-                jnp.asarray(suppress_mask),
-                jnp.asarray(blank_mask),
-            )
-        suppress_mask, blank_mask = self._mask_cache[mask_key]
-
         from . import profiling
 
         with profiling.timed("fused_decode"):
             out = fn(
                 self._decoder_params(),
-                jnp.asarray(toks),
+                toks,
                 self._scalar("int32", n_initial),
                 ck,
                 cv,

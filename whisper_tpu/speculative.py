@@ -90,6 +90,15 @@ def fused_decode_spec(
     col = jnp.arange(n_ctx)[None, :]  # (1, 448)
     eot = cfg.eot
 
+    if cfg.quantize_ckv:
+        # int8 mode quantizes BOTH models' cross-K/V inside this program —
+        # every draft step and verify pass then reads half the bytes (the
+        # same inline-pass economics as engine_fused.fused_decode)
+        from .quant import quantize_cross_kv_math
+
+        ck_t, cv_t = quantize_cross_kv_math(ck_t, cv_t)
+        ck_d, cv_d = quantize_cross_kv_math(ck_d, cv_d)
+
     def filters(logits, tokens, nt):
         return _apply_filters(
             logits,
@@ -325,6 +334,7 @@ class SpeculativeEngine:
     # not per window); same for the int8 weights mode
     _scalar = FusedEngine._scalar
     _decoder_params = FusedEngine._decoder_params
+    _prepare_inputs = FusedEngine._prepare_inputs
 
     def _draft_decoder_params(self):
         """The draft decoder tree, quantized alongside the target in int8
@@ -366,16 +376,22 @@ class SpeculativeEngine:
         initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
         n_audio = initial_tokens.shape[0] if initial_tokens.ndim == 2 else 1
 
-        def zkv(dims):
+        def zkv(dims, dtype):
             H = dims.n_text_head
             return jnp.zeros(
                 (dims.n_text_layer, n_audio, H, dims.n_text_state // H,
                  dims.n_audio_ctx),
-                self.model.compute_dtype,
+                dtype,
             )
 
+        # per-model dtypes: each model's cross_kv outputs its OWN compute
+        # dtype, and a warmup traced at the wrong dtype would silently
+        # recompile on the first real request
+        t_dt, d_dt = self.model.compute_dtype, self.draft.compute_dtype
         return self.run(
-            initial_tokens, zkv(dims_t), zkv(dims_t), zkv(dims_d), zkv(dims_d),
+            initial_tokens,
+            zkv(dims_t, t_dt), zkv(dims_t, t_dt),
+            zkv(dims_d, d_dt), zkv(dims_d, d_dt),
             **kwargs,
         )
 
@@ -410,16 +426,19 @@ class SpeculativeEngine:
                 "speculative decoding runs at temperature 0; use FusedEngine "
                 "for the t > 0 fallback ladder"
             )
-        V = self.model.dims.n_vocab
         n_ctx = graphs.CACHE_SLOTS
-        initial_tokens = np.asarray(initial_tokens, dtype=np.int32)
-        if initial_tokens.ndim == 1:
-            initial_tokens = initial_tokens[None, :]
-        n_audio, n_initial = initial_tokens.shape
-        if n_initial + self.k + 1 > n_ctx:
+        (
+            initial_tokens, n_audio, n_initial, toks, suppress_mask, blank_mask,
+        ) = self._prepare_inputs(initial_tokens, suppress_ids, blank_ids)
+        if n_initial + sample_len > n_ctx - self.k - 1:
+            # the verify chunk needs K+1 free slots, so the engine's sequence
+            # ceiling is K+1 below FusedEngine's — REFUSE rather than
+            # silently emit fewer tokens than the fused-parity contract
+            # (decoding._can_speculate pre-checks this on the product path)
             raise ValueError(
-                f"initial tokens ({n_initial}) + K ({self.k}) exceed the "
-                f"{n_ctx}-slot cache; shorten the prompt or K"
+                f"initial ({n_initial}) + sample_len ({sample_len}) exceeds "
+                f"{n_ctx} - K - 1 = {n_ctx - self.k - 1} slots; shorten "
+                "sample_len or K, or use FusedEngine"
             )
 
         cfg = FusedConfig(
@@ -432,22 +451,9 @@ class SpeculativeEngine:
             timestamp_begin=timestamp_begin,
             no_timestamps=no_timestamps,
             no_speech=no_speech,
+            quantize_ckv=self._weights_mode == "int8",
         )
         fn = self._get(cfg)
-
-        toks = np.zeros((n_audio, n_ctx), dtype=np.int32)
-        toks[:, :n_initial] = initial_tokens
-        mask_key = (tuple(suppress_ids), tuple(blank_ids), V)
-        if mask_key not in self._mask_cache:
-            suppress_mask = np.zeros(V, dtype=bool)
-            suppress_mask[list(suppress_ids)] = True
-            blank_mask = np.zeros(V, dtype=bool)
-            blank_mask[list(blank_ids)] = True
-            self._mask_cache[mask_key] = (
-                jnp.asarray(suppress_mask),
-                jnp.asarray(blank_mask),
-            )
-        suppress_mask, blank_mask = self._mask_cache[mask_key]
 
         from . import profiling
 
@@ -455,7 +461,7 @@ class SpeculativeEngine:
             out = fn(
                 self._decoder_params(),
                 self._draft_decoder_params(),
-                jnp.asarray(toks),
+                toks,
                 self._scalar("int32", n_initial),
                 ck,
                 cv,
