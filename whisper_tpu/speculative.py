@@ -86,6 +86,12 @@ def fused_decode_spec(
     sum_logprobs (A,), no_speech (A,), finished_* dummies)."""
     A = cfg.n_audio
     n_ctx = graphs.CACHE_SLOTS
+    # caches allocate at the BUCKETED width (128/256/448) holding
+    # sample_begin + sample_len + K + 1 — the verify chunk's reads, its
+    # one-hot scatter and every draft step's cache sweep then scale with the
+    # window actually decoded instead of the full 448 slots (the fused
+    # loop's cfg.last_window economics); the token block stays (A, 448)
+    n_cache = min(n_ctx, cfg.last_window)
     rows = jnp.arange(A)
     col = jnp.arange(n_ctx)[None, :]  # (1, 448)
     eot = cfg.eot
@@ -119,13 +125,14 @@ def fused_decode_spec(
         )
         d = dec["tok_emb"].shape[1]
         L = kv.shape[0]
+        kv = kv[:, :, :, : min(kv.shape[3], n_cache)]
         if L <= 8:
             # per-layer tuple carry: indexing a stacked (L, ...) loop-carried
             # cache per layer re-materializes a copy chain every iteration
             # (see graphs.decode_step) — per-layer carries are free to index
             cache = tuple(
                 jax.lax.dynamic_update_slice(
-                    jnp.zeros((2, A, n_ctx, d), dtype=cache_dtype),
+                    jnp.zeros((2, A, n_cache, d), dtype=cache_dtype),
                     kv[l].astype(cache_dtype),
                     (0, 0, 0, 0),
                 )
@@ -133,7 +140,7 @@ def fused_decode_spec(
             )
         else:
             cache = jax.lax.dynamic_update_slice(
-                jnp.zeros((L, 2, A, n_ctx, d), dtype=cache_dtype),
+                jnp.zeros((L, 2, A, n_cache, d), dtype=cache_dtype),
                 kv.astype(cache_dtype),
                 (0, 0, 0, 0, 0),
             )
@@ -173,7 +180,7 @@ def fused_decode_spec(
     # ---- step 0: the target's prefill logits choose token[sample_begin] ----
     g0, lp0 = _greedy_pick(filters(first_logits, tokens0, sample_begin))
     tokens0 = jnp.where(col == sample_begin, g0[:, None], tokens0)
-    limit = jnp.minimum(sample_begin + sample_len, n_ctx - K - 1)
+    limit = jnp.minimum(sample_begin + sample_len, n_cache - K - 1)
     n0 = jnp.full((A,), sample_begin + 1, jnp.int32)
     done0 = (g0 == eot) | (n0 >= limit)
 
@@ -201,7 +208,7 @@ def fused_decode_spec(
         def d_body(c):
             tokens, p_d, cache_d = c
             active = ~done & (p_d < n + K - 1)
-            tok_in = tokens[rows, jnp.clip(p_d, 0, n_ctx - 1)][:, None]  # (A,1)
+            tok_in = tokens[rows, jnp.clip(p_d, 0, n_cache - 1)][:, None]  # (A,1)
             logits_d, cache_d = graphs.decode_chunk(
                 step_dec_d, tok_in, p_d, cache_d, step_ck_d, step_cv_d,
                 n_head=n_head_d, active=active,
@@ -219,7 +226,7 @@ def fused_decode_spec(
         )
 
         # ---- verify phase: one target pass over [t_{n-1}, c_0 .. c_{K-1}] ----
-        vidx = jnp.clip(n[:, None] - 1 + jnp.arange(K + 1)[None, :], 0, n_ctx - 1)
+        vidx = jnp.clip(n[:, None] - 1 + jnp.arange(K + 1)[None, :], 0, n_cache - 1)
         t_in = tokens[rows[:, None], vidx]  # (A, K+1)
         logits_v, cache_t = graphs.decode_chunk(
             step_dec_t, t_in, n - 1, st.cache_t, step_ck_t, step_cv_t,
@@ -441,6 +448,8 @@ class SpeculativeEngine:
                 "sample_len or K, or use FusedEngine"
             )
 
+        max_slots = n_initial + sample_len + self.k + 1
+        last_window = next(w for w in (128, 256, n_ctx) if max_slots <= w)
         cfg = FusedConfig(
             n_group=1,
             n_audio=n_audio,
@@ -451,6 +460,7 @@ class SpeculativeEngine:
             timestamp_begin=timestamp_begin,
             no_timestamps=no_timestamps,
             no_speech=no_speech,
+            last_window=last_window,
             quantize_ckv=self._weights_mode == "int8",
         )
         fn = self._get(cfg)
