@@ -180,3 +180,46 @@ def test_continuous_beam_matches_sequential(tpu_model, jfk_audio):
         jfk_audio, language="en", temperature=0.0, beam_size=2, verbose=None
     )
     assert cb.result(t)["text"] == ref["text"]
+
+
+def test_continuous_mesh_and_draft_compose(tpu_model, jfk_audio):
+    """The full composition: sharded engines (set_mesh) + speculative
+    decoding (set_draft_model) + continuous batching, all at once, produce
+    the same transcripts as the plain single-device batcher."""
+    import jax
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+
+        _pytest.skip("needs 8 virtual devices")
+    from whisper_tpu.models import Whisper
+    from whisper_tpu.models.dims import ModelDimensions
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    d = tpu_model.dims
+    draft = Whisper(
+        ModelDimensions(
+            n_mels=d.n_mels, n_audio_ctx=d.n_audio_ctx, n_audio_state=64,
+            n_audio_head=1, n_audio_layer=1, n_vocab=d.n_vocab, n_text_ctx=448,
+            n_text_state=64, n_text_head=1, n_text_layer=1,
+        ),  # fmt: skip
+        params=None, name="compose-draft", compute_dtype="float32",
+    )
+
+    def run():
+        cb = ContinuousBatcher(tpu_model, slots=4, language="en", temperature=0.0)
+        t1 = cb.submit(jfk_audio)
+        t2 = cb.submit(jfk_audio[16000 * 2 :])
+        cb.drain()
+        return [cb.result(t) for t in (t1, t2)]
+
+    plain = run()
+    tpu_model.set_mesh(make_mesh(dp=4, tp=2))
+    tpu_model.set_draft_model(draft, k=4)
+    try:
+        combo = run()
+    finally:
+        tpu_model.set_draft_model(None)
+        tpu_model.set_mesh(None)
+    for a, b in zip(combo, plain):
+        assert a["text"] == b["text"]

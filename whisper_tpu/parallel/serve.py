@@ -118,16 +118,25 @@ class DataParallelSpeculativeEngine(SpeculativeEngine):
         dec_t = param_shardings(self._decoder_params(), mesh)
         dec_d = param_shardings(self._draft_decoder_params(), mesh)
         repl = NamedSharding(mesh, P())
-        ckv = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+        tp = mesh.shape.get("tp", 1)
+
+        def ckv_spec(n_head):
+            # a draft with fewer heads than tp keeps its cross-K/V head axis
+            # replicated (GSPMD still shards the dp batch axis)
+            head_axis = "tp" if n_head % tp == 0 else None
+            return NamedSharding(mesh, P(None, "dp", head_axis, None, None))
+
+        ckv_t = ckv_spec(self.model.dims.n_text_head)
+        ckv_d = ckv_spec(self.draft.dims.n_text_head)
         in_shardings = (
             dec_t,
             dec_d,
             NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
             repl,  # sample_begin
-            ckv,  # ck_t
-            ckv,  # cv_t
-            ckv,  # ck_d
-            ckv,  # cv_d
+            ckv_t,  # ck_t
+            ckv_t,  # cv_t
+            ckv_d,  # ck_d
+            ckv_d,  # cv_d
             repl,  # sot_index
             repl,  # suppress mask
             repl,  # blank mask
