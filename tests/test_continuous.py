@@ -84,8 +84,11 @@ def test_continuous_result_before_done_raises(tpu_model, jfk_audio):
 
 
 def test_continuous_word_timestamps(tpu_model, jfk_audio):
-    """word_timestamps flows through the shared bookkeeping: words match
-    sequential transcribe()'s exactly."""
+    """word_timestamps flows through the shared bookkeeping: words and times
+    match sequential transcribe()'s exactly. Probabilities are compared with a
+    tolerance: the timing replay reuses the cross-K/V already computed for
+    decoding, and the batcher's batch-2 encode tiles its matmuls differently
+    from transcribe()'s batch-1 encode (last-bit drift only)."""
     cb = ContinuousBatcher(
         tpu_model, slots=2, language="en", temperature=0.0, word_timestamps=True
     )
@@ -97,7 +100,14 @@ def test_continuous_word_timestamps(tpu_model, jfk_audio):
     )
     got = cb.result(t)["segments"]
     want = ref["segments"]
-    assert [s.get("words") for s in got] == [s.get("words") for s in want]
+    got_words = [s.get("words") for s in got]
+    want_words = [s.get("words") for s in want]
+    assert len(got_words) == len(want_words)
+    for gw, ww in zip(got_words, want_words):
+        assert len(gw) == len(ww)
+        for g, w in zip(gw, ww):
+            assert (g["word"], g["start"], g["end"]) == (w["word"], w["start"], w["end"])
+            assert g["probability"] == pytest.approx(w["probability"], rel=1e-5)
 
 
 def test_continuous_device_mel_matches_host(tpu_model, jfk_audio, monkeypatch):

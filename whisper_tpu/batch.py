@@ -22,7 +22,7 @@ import numpy as np
 from .audio import HOP_LENGTH, N_FRAMES, N_SAMPLES, SAMPLE_RATE, log_mel_spectrogram, pad_or_trim
 from .decoding import DecodingOptions, DecodingResult, DecodingTask
 from .tokenizer import get_tokenizer
-from .transcribe import segments_from_tokens
+from .transcribe import segment_builder, segments_from_tokens
 from .utils import exact_div
 
 
@@ -158,23 +158,6 @@ def _apply_window_result(
             s.seek += segment_size
             return
 
-    seek_ref = s.seek
-
-    def make_segment(*, start, end, tokens, result):
-        tokens = [int(t) for t in tokens]
-        text_tokens = [t for t in tokens if t < tokenizer.eot]
-        return {
-            "seek": seek_ref,
-            "start": start,
-            "end": end,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": tokens,
-            "temperature": result.temperature,
-            "avg_logprob": result.avg_logprob,
-            "compression_ratio": result.compression_ratio,
-            "no_speech_prob": result.no_speech_prob,
-        }
-
     segments, s.seek, single_timestamp_ending = segments_from_tokens(
         tokens=np.array(result.tokens),
         tokenizer=tokenizer,
@@ -184,16 +167,19 @@ def _apply_window_result(
         time_offset=time_offset,
         time_precision=time_precision,
         input_stride=input_stride,
-        make_segment=make_segment,
+        make_segment=segment_builder(tokenizer, s.seek),
     )
 
     if word_timestamps:
-        import jax.numpy as jnp
-
         from .timing import add_word_timestamps
         from .utils import get_end
 
-        ck1, cv1 = model.cross_kv(jnp.asarray(result.audio_features)[None])
+        if result.cross_kv is not None:
+            ck1, cv1 = result.cross_kv
+        else:
+            import jax.numpy as jnp
+
+            ck1, cv1 = model.cross_kv(jnp.asarray(result.audio_features)[None])
         add_word_timestamps(
             segments=segments,
             model=model,

@@ -144,6 +144,9 @@ class DecodingResult:
     no_speech_prob: float = np.nan
     temperature: float = np.nan
     compression_ratio: float = np.nan
+    # this window's decoder cross-K/V (device arrays, batch dim 1), carried so
+    # the word-timestamp replay doesn't recompute them (transcribe.py/batch.py)
+    cross_kv: Optional[tuple] = field(default=None, repr=False, compare=False)
 
 
 class Inference:
@@ -152,9 +155,8 @@ class Inference:
     (fused into the next step as a gather — replacing the reference's native
     rearrange_mkv memcpy, coreml.mm:251-277)."""
 
-    def __init__(self, model: "Whisper", initial_token_length: int, n_group: int):
+    def __init__(self, model: "Whisper", n_group: int):
         self.model = model
-        self.initial_token_length = initial_token_length
         self.n_group = n_group
         self.text_offset = 0
         self.cache = None
@@ -262,10 +264,12 @@ class TokenDecoder:
 
 
 class GreedyDecoder(TokenDecoder):
-    def __init__(self, temperature: float, eot: int, rng: Optional[np.random.RandomState] = None):
+    def __init__(self, temperature: float, eot: int, rng=None):
         self.temperature = temperature
         self.eot = eot
-        self.rng = rng or np.random.RandomState()
+        # default to the global numpy stream so np.random.seed() makes t>0
+        # decodes reproducible, matching the fused engine's rng_seed draw
+        self.rng = rng if rng is not None else np.random
 
     def update(self, tokens, logits, sum_logprobs):
         if self.temperature == 0:
@@ -513,7 +517,7 @@ class DecodingTask:
         self.sample_begin: int = len(self.initial_tokens)
         self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
 
-        self.inference = Inference(model, len(self.initial_tokens), self.n_group)
+        self.inference = Inference(model, self.n_group)
         self.sequence_ranker = MaximumLikelihoodRanker(options.length_penalty)
         self._draft_ckv = None  # set per run() when speculation applies
 
@@ -616,22 +620,21 @@ class DecodingTask:
         lang_probs = None
 
         if self.options.language is None or self.options.task == "lang_id":
+            # audio_features is always batched (n_audio, 1500, d) here, so
+            # detect_language returns per-audio lists
             lang_tokens, lang_probs = detect_language(
                 self.model, audio_features, self.tokenizer
             )
-            if isinstance(lang_probs, dict):
-                lang_probs = [lang_probs]
-                lang_tokens = np.array([lang_tokens])
             languages = [max(probs, key=probs.get) for probs in lang_probs]
             if self.options.language is None:
                 tokens[:, self.sot_index + 1] = lang_tokens
 
         return languages, lang_probs
 
-    def _can_fuse(self, n_audio: int) -> bool:
+    def _can_fuse(self) -> bool:
         """The fused on-device loop handles single- and multi-stream batches
         (the compiled graph is keyed on n_audio, so callers should keep batch
-        sizes stable); lang_id uses the host path."""
+        sizes stable); >256-token prompts use the host path's chunked prefill."""
         return (
             getattr(self.model, "use_fused_decode", True)
             and len(self.initial_tokens) <= 256
@@ -703,7 +706,7 @@ class DecodingTask:
             eot=tokenizer.eot,
             timestamp_begin=tokenizer.timestamp_begin,
             no_timestamps=tokenizer.no_timestamps,
-            no_speech=tokenizer.no_speech if tokenizer.no_speech else 0,
+            no_speech=tokenizer.no_speech if tokenizer.no_speech is not None else 0,
         )
         # per-audio rows rather than self.initial_tokens: language
         # detection may have overwritten the language token slot
@@ -806,7 +809,7 @@ class DecodingTask:
     def _main_loop(self, audio_features, tokens: np.ndarray):
         n_batch = tokens.shape[0]
 
-        if self._can_fuse(n_batch // self.n_group):
+        if self._can_fuse():
             return self._main_loop_fused(tokens)
 
         sum_logprobs = np.zeros(n_batch, dtype=np.float64)
@@ -904,6 +907,19 @@ class DecodingTask:
             lp / (len(t) + 1) for t, lp in zip(tokens, sum_logprobs)
         ]
 
+        # carry this window's cross-K/V (already computed for decoding) so the
+        # word-timestamp replay doesn't pay a recompute program per window
+        ckv_rows: List[Optional[tuple]] = [None] * n_audio
+        if cross_kv is not None:
+            ck, cv = cross_kv
+            if n_audio == 1:
+                ckv_rows = [(ck, cv)]
+            else:
+                # cross-K/V is (L, B, H, dh, T): batch is axis 1
+                ckv_rows = [
+                    (ck[:, i : i + 1], cv[:, i : i + 1]) for i in range(n_audio)
+                ]
+
         fields = (
             texts,
             languages,
@@ -911,6 +927,7 @@ class DecodingTask:
             list(audio_features),
             avg_logprobs,
             no_speech_probs,
+            ckv_rows,
         )
         if len(set(map(len, fields))) != 1:
             raise RuntimeError(f"inconsistent result lengths: {list(map(len, fields))}")
@@ -925,8 +942,9 @@ class DecodingTask:
                 no_speech_prob=no_speech_prob,
                 temperature=self.options.temperature,
                 compression_ratio=compression_ratio(text),
+                cross_kv=ckv,
             )
-            for text, language, tokens, features, avg_logprob, no_speech_prob in zip(
+            for text, language, tokens, features, avg_logprob, no_speech_prob, ckv in zip(
                 *fields
             )
         ]

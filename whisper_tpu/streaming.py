@@ -35,7 +35,7 @@ from .audio import (
 )
 from .decoding import DecodingOptions, DecodingResult
 from .tokenizer import get_tokenizer
-from .transcribe import segments_from_tokens
+from .transcribe import segment_builder, segments_from_tokens
 from .utils import exact_div
 
 
@@ -180,24 +180,6 @@ class StreamingTranscriber:
                 self._seek += segment_size
                 continue
 
-            seek_ref = self._seek
-            tokenizer = self.tokenizer
-
-            def make_segment(*, start, end, tokens, result):
-                tokens = [int(t) for t in tokens]
-                text_tokens = [t for t in tokens if t < tokenizer.eot]
-                return {
-                    "seek": seek_ref,
-                    "start": start,
-                    "end": end,
-                    "text": tokenizer.decode(text_tokens),
-                    "tokens": tokens,
-                    "temperature": result.temperature,
-                    "avg_logprob": result.avg_logprob,
-                    "compression_ratio": result.compression_ratio,
-                    "no_speech_prob": result.no_speech_prob,
-                }
-
             segments, self._seek, _ = segments_from_tokens(
                 tokens=np.array(result.tokens),
                 tokenizer=self.tokenizer,
@@ -207,7 +189,7 @@ class StreamingTranscriber:
                 time_offset=time_offset,
                 time_precision=self._time_precision,
                 input_stride=self._input_stride,
-                make_segment=make_segment,
+                make_segment=segment_builder(self.tokenizer, self._seek),
             )
             for seg in segments:
                 if seg["start"] == seg["end"] or seg["text"].strip() == "":

@@ -150,6 +150,28 @@ def segments_from_tokens(
     return segments, seek, single_timestamp_ending
 
 
+def segment_builder(tokenizer, seek: int):
+    """The per-window segment-dict constructor shared by transcribe/batch/
+    streaming (the reference's `new_segment` closure, transcribe.py:244-258)."""
+
+    def make_segment(*, start: float, end: float, tokens, result: DecodingResult):
+        tokens = [int(t) for t in tokens]
+        text_tokens = [token for token in tokens if token < tokenizer.eot]
+        return {
+            "seek": seek,
+            "start": start,
+            "end": end,
+            "text": tokenizer.decode(text_tokens),
+            "tokens": tokens,
+            "temperature": result.temperature,
+            "avg_logprob": result.avg_logprob,
+            "compression_ratio": result.compression_ratio,
+            "no_speech_prob": result.no_speech_prob,
+        }
+
+    return make_segment
+
+
 def transcribe(
     model: "Whisper",
     audio: Union[str, np.ndarray],
@@ -300,21 +322,6 @@ def transcribe(
     else:
         initial_prompt_tokens = []
 
-    def new_segment(*, start: float, end: float, tokens, result: DecodingResult):
-        tokens = [int(t) for t in tokens]
-        text_tokens = [token for token in tokens if token < tokenizer.eot]
-        return {
-            "seek": seek,
-            "start": start,
-            "end": end,
-            "text": tokenizer.decode(text_tokens),
-            "tokens": tokens,
-            "temperature": result.temperature,
-            "avg_logprob": result.avg_logprob,
-            "compression_ratio": result.compression_ratio,
-            "no_speech_prob": result.no_speech_prob,
-        }
-
     with tqdm.tqdm(
         total=content_frames, unit="frames", disable=verbose is not False
     ) as pbar:
@@ -372,13 +379,18 @@ def transcribe(
                 time_offset=time_offset,
                 time_precision=time_precision,
                 input_stride=input_stride,
-                make_segment=new_segment,
+                make_segment=segment_builder(tokenizer, seek),
             )
 
             if word_timestamps:
-                import jax.numpy as jnp
+                if result.cross_kv is not None:
+                    ck, cv = result.cross_kv
+                else:
+                    import jax.numpy as jnp
 
-                ck, cv = model.cross_kv(jnp.asarray(result.audio_features)[None])
+                    ck, cv = model.cross_kv(
+                        jnp.asarray(result.audio_features)[None]
+                    )
                 add_word_timestamps(
                     segments=current_segments,
                     model=model,
