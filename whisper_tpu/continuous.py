@@ -123,6 +123,16 @@ class ContinuousBatcher:
         # numpy mel (~0.9 s per minute of audio — measured dominating the
         # serving bench's submit path); per-round windows are then device
         # slices stacked on device. WHISPER_TPU_DEVICE_MEL=0/1 overrides.
+        #
+        # Each round dispatches one window-slice program PER ACTIVE SLOT
+        # (streams' mels have different bucketed lengths, so they can't ride
+        # one vmapped program). This is deliberate: the slice program
+        # compiles once per mel-length BUCKET (a handful, ever), whereas any
+        # batched formulation keys on the round's (count, lengths) pattern —
+        # on a deferred-compile remote service every new program shape costs
+        # a server-side compile (seconds to minutes), while the per-slot
+        # dispatches are ~ms and pipeline behind the decode. The measured
+        # serving numbers (tools/continuous_bench.py) include this cost.
         self._device_mel = _use_device_mel()
         self._zero_window = None  # cached (n_mels, N_FRAMES) device zeros
 

@@ -29,8 +29,11 @@ from .tokenizer import get_tokenizer
 PAD_ID = -100  # masked out of the loss (parallel/train.py loss_fn)
 
 
-def load_manifest(path: str) -> List[dict]:
-    """JSON-lines manifest -> list of {"audio", "text"} records."""
+def load_manifest(path: str, require_text: bool = True) -> List[dict]:
+    """JSON-lines manifest -> list of {"audio", "text"} records.
+
+    `require_text=False` admits audio-only records (distill.py pseudo-labels
+    them with the target model; fine-tuning proper always needs labels)."""
     records = []
     with open(path) as f:
         for line in f:
@@ -38,7 +41,7 @@ def load_manifest(path: str) -> List[dict]:
             if not line:
                 continue
             rec = json.loads(line)
-            if "audio" not in rec or "text" not in rec:
+            if "audio" not in rec or (require_text and "text" not in rec):
                 raise ValueError(f"manifest line needs audio+text: {rec}")
             records.append(rec)
     if not records:
