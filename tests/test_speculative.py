@@ -354,3 +354,43 @@ def test_spec_rejects_overlong_sample_len(tpu_model, draft_model):
         SpeculativeEngine(tpu_model, draft_model, k=4).run(
             initial, None, None, None, None, **kw
         )
+
+
+def test_acceptance_stats(tpu_model, draft_model, mel):
+    """`last_stats` telemetry: a self-draft (draft == target) accepts every
+    proposal — acceptance exactly 1.0 with ceil((emitted-1)/(K+1)) rounds —
+    while an independent random draft lands strictly below. This is the
+    signal distill.py's training exists to raise.
+
+    Vocab narrowed to 3 tokens so draft/target argmax agreement is decided
+    by O(1) logit gaps, not float-accumulation near-ties (the chunked verify
+    pass sums in a different order than the draft's single-token steps)."""
+    tok = get_tokenizer(tpu_model.is_multilingual, language="en", task="transcribe")
+    mels = mel[None]
+    ck, cv = _cross_kv(tpu_model, mels)
+    dck, dcv = _cross_kv(draft_model, mels)
+    initial = np.array([list(tok.sot_sequence)], np.int32)
+    narrow = [i for i in range(tpu_model.dims.n_vocab) if i not in (100, 200, 300)]
+    base = dict(
+        sot_index=0, suppress_ids=narrow, blank_ids=[220],
+        max_initial_ts_index=None, sample_len=13, use_timestamps=False,
+        eot=tok.eot, timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps, no_speech=tok.no_speech,
+        temperature=0.0,
+    )  # fmt: skip
+
+    eng = SpeculativeEngine(tpu_model, tpu_model, k=3)
+    out = eng.run(initial, ck, cv, ck, cv, **base)
+    st = eng.last_stats
+    assert st["k"] == 3
+    assert st["emitted"] == [13]
+    assert st["rounds"] == [3]  # 1 prefill token + 3 rounds x (K+1)
+    assert st["draft_acceptance"] == [1.0]
+    assert int(out[1]) == initial.shape[1] + 13  # contract tuple unchanged
+
+    eng2 = SpeculativeEngine(tpu_model, draft_model, k=3)
+    eng2.run(initial, ck, cv, dck, dcv, **base)
+    st2 = eng2.last_stats
+    assert st2["emitted"] == [13]
+    assert st2["rounds"][0] >= 3  # rejections cost extra rounds
+    assert 0.0 <= st2["draft_acceptance"][0] < 1.0

@@ -127,10 +127,14 @@ def main():
         se = SpeculativeEngine(model, draft, k=k)
         for label, kw in (("accept1", accept_all), ("accept0", accept_none)):
             p50, n = timed(lambda: se.run(initial, ck, cv, dck, dcv, **kw))
-            results.append(("speculative", label, k, p50, n))
+            # measured acceptance telemetry: the bracket construction makes
+            # the expected values exact (accept1 -> 1.0, accept0 -> ~0), so
+            # this doubles as an on-chip check of engine.last_stats
+            acc = round(float(np.mean(se.last_stats["draft_acceptance"])), 3)
+            results.append(("speculative", label, k, p50, n, acc))
 
-    fused_p50 = {lab: p for eng, lab, _, p, _ in results if eng == "fused_greedy" for lab in [lab]}
-    for eng, label, k, p50, n in results:
+    fused_p50 = {lab: p for eng, lab, _, p, _ in results[:2] for lab in [lab]}
+    for eng, label, k, p50, n, *rest in results:
         tokens = (n - initial.shape[1]) * n_windows
         print(json.dumps({
             "engine": eng,
@@ -140,6 +144,7 @@ def main():
             "tokens": tokens,
             "tokens_per_s": round(tokens / p50, 1),
             "vs_fused": round(fused_p50[label] / p50, 3) if eng == "speculative" else 1.0,
+            "measured_acceptance": rest[0] if rest else None,
             "frontend_s": round(t_frontend, 3),
         }))
 

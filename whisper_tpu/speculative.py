@@ -49,6 +49,7 @@ class SpecState(NamedTuple):
     sum_logprobs: jnp.ndarray  # (A,) f32
     cache_t: jnp.ndarray  # (Lt, 2, A, C, d_t) target self-attention K/V
     cache_d: jnp.ndarray  # (Ld, 2, A, C, d_d) draft self-attention K/V
+    rounds: jnp.ndarray  # (A,) i32 — verify rounds the row participated in
 
 
 def _greedy_pick(filtered):
@@ -192,6 +193,7 @@ def fused_decode_spec(
         sum_logprobs=lp0,
         cache_t=cache_t,
         cache_d=cache_d,
+        rounds=jnp.zeros((A,), jnp.int32),
     )
 
     def outer_cond(st: SpecState):
@@ -282,6 +284,7 @@ def fused_decode_spec(
             sum_logprobs=sum_lp,
             cache_t=cache_t,
             cache_d=cache_d,
+            rounds=st.rounds + (~done).astype(jnp.int32),
         )
 
     state = jax.lax.while_loop(outer_cond, outer_body, state)
@@ -306,6 +309,10 @@ def fused_decode_spec(
         jnp.full((A, max_cand), -jnp.inf, jnp.float32),
         jnp.zeros((A, max_cand), jnp.int32),
         jnp.zeros((A,), jnp.int32),
+        # telemetry (popped by SpeculativeEngine.run before returning the
+        # fused-contract 8-tuple): per-row verify rounds + verified lengths
+        state.rounds,
+        state.n,
     )
 
 
@@ -336,6 +343,10 @@ class SpeculativeEngine:
         self._jitted = {}
         self._mask_cache = {}
         self._scalar_cache = {}
+        # per-run acceptance telemetry (rounds / emitted / draft_acceptance
+        # per row), set after every run() — the production signal for how
+        # well the draft tracks the target on the serving domain
+        self.last_stats: Optional[dict] = None
 
     # the scalar/mask device caches mirror FusedEngine's (one put per value,
     # not per window); same for the int8 weights mode
@@ -487,4 +498,21 @@ class SpeculativeEngine:
                 self._scalar("int32", sample_len),
             )
             out = jax.device_get(out)
-        return out
+        *core, rounds, n_row = out
+        # acceptance telemetry: each verify round lands exactly 1 target
+        # token + m accepted draft tokens (EOT/limit truncation can shorten
+        # both), and the prefill chooses one token before any round — so
+        # accepted draft tokens ~= emitted - 1 - rounds, and the acceptance
+        # rate a (the `1 + a*K` speedup knob) is that over rounds*K. This is
+        # the number to watch when evaluating a distilled draft (distill.py).
+        rounds = np.asarray(rounds)
+        emitted = np.asarray(n_row) - n_initial
+        accepted = np.maximum(emitted - 1 - rounds, 0)
+        denom = np.maximum(rounds * self.k, 1)
+        self.last_stats = {
+            "rounds": rounds.tolist(),
+            "emitted": emitted.tolist(),
+            "draft_acceptance": (accepted / denom).tolist(),
+            "k": self.k,
+        }
+        return tuple(core)
