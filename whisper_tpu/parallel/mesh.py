@@ -24,14 +24,25 @@ from jax.sharding import Mesh
 def make_mesh(
     dp: Optional[int] = None,
     tp: int = 1,
+    pp: int = 1,
     devices: Optional[Sequence] = None,
 ) -> Mesh:
-    """Create a (dp, tp) mesh over the given (default: all) devices."""
+    """Create a (dp, tp) — or, with pp > 1, (dp, pp, tp) — mesh over the
+    given (default: all) devices.
+
+    Axis order puts `tp` innermost (the tightest-coupled chips carry the
+    per-layer all-reduces), `pp` next (stage-to-stage ppermute hops), `dp`
+    outermost (no communication inside one decode at all). The 2-axis form
+    is kept when pp == 1 so existing (dp, tp) consumers see an unchanged
+    mesh shape."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     if dp is None:
-        assert n % tp == 0, f"{n} devices not divisible by tp={tp}"
-        dp = n // tp
-    assert dp * tp == n, f"mesh {dp}x{tp} != {n} devices"
-    arr = np.array(devices).reshape(dp, tp)
-    return Mesh(arr, axis_names=("dp", "tp"))
+        assert n % (tp * pp) == 0, f"{n} devices not divisible by tp*pp={tp * pp}"
+        dp = n // (tp * pp)
+    assert dp * tp * pp == n, f"mesh dp{dp}*pp{pp}*tp{tp} != {n} devices"
+    if pp == 1:
+        return Mesh(np.array(devices).reshape(dp, tp), axis_names=("dp", "tp"))
+    return Mesh(
+        np.array(devices).reshape(dp, pp, tp), axis_names=("dp", "pp", "tp")
+    )

@@ -10,10 +10,13 @@ per weight stack:
   * embeddings, layernorms, conv stem: replicated;
   * batch axes of activations: sharded over `dp`.
 
-No pipeline axis: Whisper decoders are shallow (4 layers for turbo) and the
-hot graph is latency-bound single-token decoding — pipelining would add
-bubble latency for no memory win at these sizes. No expert axis: the
-architecture has no MoE layers.
+No pipeline axis HERE: Whisper decoders are shallow (4 layers for turbo)
+and the hot graph is latency-bound single-token decoding — pipelining the
+decode loop would add bubble latency for no memory win at these sizes. The
+deep ENCODER (32 layers for large-v3) does get an opt-in GPipe pipeline for
+batch serving: parallel/pipeline.py shards the layer stack over a `pp` mesh
+axis with microbatched ppermute flow, composing with the dp/tp rules below.
+No expert axis: the architecture has no MoE layers.
 """
 
 from typing import Dict
