@@ -159,3 +159,22 @@ def test_batched_beam_decode(tpu_model, mel):
     for b, s in zip(batch, singles):
         assert b.tokens == s.tokens
         assert abs(b.no_speech_prob - s.no_speech_prob) < 1e-5
+
+
+def test_cross_kv_retention_opt_in(tpu_model, mel):
+    """DecodingResult.cross_kv pins large device buffers, so plain decode()
+    must NOT attach it; keep_cross_kv=True (set by transcribe/batch/continuous
+    when word_timestamps is on) opts in, and the rows must match a fresh
+    cross-KV computation."""
+    import jax.numpy as jnp
+
+    kw = dict(language="en", temperature=0.0, sample_len=5)
+    plain = decode(tpu_model, mel, DecodingOptions(**kw))
+    assert plain.cross_kv is None
+
+    kept = decode(tpu_model, mel, DecodingOptions(keep_cross_kv=True, **kw))
+    assert kept.cross_kv is not None
+    ck, cv = kept.cross_kv
+    ck_ref, cv_ref = tpu_model.cross_kv(jnp.asarray(kept.audio_features)[None])
+    np.testing.assert_allclose(np.asarray(ck), np.asarray(ck_ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cv), np.asarray(cv_ref), atol=1e-5)

@@ -121,3 +121,19 @@ def test_distill_sharded_matches_single_device(
         out_dir=str(tmp_path / "c2"), mesh=mesh8, **kw,
     )  # fmt: skip
     np.testing.assert_allclose(single, sharded, rtol=1e-4, atol=1e-5)
+
+
+def test_zero_steps_rejected(tpu_model, tmp_path):
+    """steps=0 must raise instead of writing a random-weights checkpoint."""
+    from whisper_tpu.distill import run_distill
+
+    with pytest.raises(ValueError, match="steps"):
+        run_distill(
+            tpu_model,
+            "tiny",
+            [{"audio": "unused.wav", "text": "x"}],
+            steps=0,
+            batch_size=1,
+            out_dir=str(tmp_path / "draft"),
+        )
+    assert not (tmp_path / "draft").exists()

@@ -119,8 +119,10 @@ def main():
             initial, ck, cv, n_group=1, beam_search=False, max_candidates=0, **kw
         )
 
+    fused_p50 = {}
     for label, kw in (("accept1", accept_all), ("accept0", accept_none)):
         p50, n = timed(fused_run(kw))
+        fused_p50[label] = p50
         results.append(("fused_greedy", label, None, p50, n))
 
     for k in ks:
@@ -133,7 +135,6 @@ def main():
             acc = round(float(np.mean(se.last_stats["draft_acceptance"])), 3)
             results.append(("speculative", label, k, p50, n, acc))
 
-    fused_p50 = {lab: p for eng, lab, _, p, _ in results[:2] for lab in [lab]}
     for eng, label, k, p50, n, *rest in results:
         tokens = (n - initial.shape[1]) * n_windows
         print(json.dumps({

@@ -244,6 +244,9 @@ def transcribe_batch(
     temperatures = (
         [temperature] if isinstance(temperature, (int, float)) else list(temperature)
     )
+    # reuse each window's decode-pass cross-K/V in the word-timestamp replay;
+    # off otherwise (the rows pin HBM for the result's lifetime)
+    decode_options.setdefault("keep_cross_kv", bool(word_timestamps))
 
     # All streams' mels as ONE device block (one upload + one program) when
     # the device frontend is on; per-stream host numpy mel otherwise. Window

@@ -88,6 +88,8 @@ class ContinuousBatcher:
         decode_options.pop("verbose", None)  # signature compat (see batch.py)
         if language is None and not model.is_multilingual:
             language = "en"  # English-only models have no language tokens
+        # reuse the decode pass's cross-K/V in word-timestamp replay only
+        decode_options.setdefault("keep_cross_kv", bool(word_timestamps))
         self.model = model
         self.slots = slots
         self.language = language

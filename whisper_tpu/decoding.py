@@ -132,6 +132,13 @@ class DecodingOptions:
     # bf16 with f32 accumulation regardless
     fp16: bool = True
 
+    # TPU extension (not in the reference): attach this window's device
+    # cross-K/V to each DecodingResult so a word-timestamp replay can reuse
+    # it instead of recomputing. Off by default — the buffers are large
+    # (~31 MB/window on turbo) and pin HBM for the result's lifetime;
+    # transcribe()/batch/continuous turn it on when word_timestamps is set.
+    keep_cross_kv: bool = False
+
 
 @dataclass(frozen=True)
 class DecodingResult:
@@ -634,7 +641,12 @@ class DecodingTask:
     def _can_fuse(self) -> bool:
         """The fused on-device loop handles single- and multi-stream batches
         (the compiled graph is keyed on n_audio, so callers should keep batch
-        sizes stable); >256-token prompts use the host path's chunked prefill."""
+        sizes stable). Initial sequences beyond the 256-slot prefill window
+        are unsupported on BOTH paths (the host path's model.prefill raises
+        too — same hard cap as the reference's decoder256 graph); in practice
+        they cannot occur via transcribe(), which trims prompts to
+        n_text_ctx//2 - 1 = 223 tokens. The guard only keeps this task from
+        compiling a fused program that could never run."""
         return (
             getattr(self.model, "use_fused_decode", True)
             and len(self.initial_tokens) <= 256
@@ -908,9 +920,11 @@ class DecodingTask:
         ]
 
         # carry this window's cross-K/V (already computed for decoding) so the
-        # word-timestamp replay doesn't pay a recompute program per window
+        # word-timestamp replay doesn't pay a recompute program per window —
+        # only when asked: the rows pin large HBM buffers for the result's
+        # lifetime, so plain decode() callers must not accumulate them
         ckv_rows: List[Optional[tuple]] = [None] * n_audio
-        if cross_kv is not None:
+        if cross_kv is not None and self.options.keep_cross_kv:
             ck, cv = cross_kv
             if n_audio == 1:
                 ckv_rows = [(ck, cv)]

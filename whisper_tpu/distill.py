@@ -213,6 +213,10 @@ def run_distill(
     from .parallel.mesh import make_mesh
     from .parallel.sharding import shard_params
 
+    if steps < 1:
+        # a zero-step run would still write a random-weights "draft"
+        # checkpoint to out_dir — refuse rather than leave a garbage artifact
+        raise ValueError(f"steps must be >= 1, got {steps}")
     if mesh is None:
         mesh = make_mesh(dp=1, tp=1, devices=jax.devices()[:1])
     dims_s = draft_dims(model.dims, draft)

@@ -27,6 +27,7 @@ Everything is one jitted program; XLA overlaps each stage's compute with
 the ppermute transfers where the dependence allows.
 """
 
+import inspect
 from functools import partial
 from typing import Dict
 
@@ -37,18 +38,21 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..models.graphs import _gelu, _self_attention, layer_norm
 
 try:  # jax >= 0.4.35 exposes shard_map at the top level
-    from jax import shard_map
-
-    def _shard_map(f, mesh, in_specs, out_specs):
-        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_vma=False)  # fmt: skip
-
+    from jax import shard_map as _sm
 except ImportError:  # pragma: no cover - older jax
-    from jax.experimental.shard_map import shard_map
+    from jax.experimental.shard_map import shard_map as _sm
 
-    def _shard_map(f, mesh, in_specs, out_specs):
-        return shard_map(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                         check_rep=False)  # fmt: skip
+# the replication-check kwarg was renamed check_rep -> check_vma; which name
+# a given jax release takes is independent of where shard_map is exported
+_SM_PARAMS = inspect.signature(_sm).parameters
+_SM_CHECK_KW = next(
+    (kw for kw in ("check_vma", "check_rep") if kw in _SM_PARAMS), None
+)
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    kw = {_SM_CHECK_KW: False} if _SM_CHECK_KW else {}
+    return _sm(f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, **kw)
 
 
 # column-parallel (output features over tp) / row-parallel (input features

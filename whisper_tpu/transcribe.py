@@ -265,6 +265,11 @@ def transcribe(
     if word_timestamps and task == "translate":
         warnings.warn("Word-level timestamps on translations may not be reliable.")
 
+    # let the word-timestamp replay reuse each window's decode-pass cross-K/V
+    # (DecodingResult.cross_kv); without word timestamps the rows would only
+    # pin HBM, so they stay off
+    decode_options.setdefault("keep_cross_kv", bool(word_timestamps))
+
     def decode_with_fallback(segment: np.ndarray) -> DecodingResult:
         temperatures = (
             [temperature] if isinstance(temperature, (int, float)) else temperature
