@@ -87,3 +87,44 @@ def test_make_mesh_pp_axis_order():
     assert dict(mesh.shape) == {"dp": 2, "pp": 2, "tp": 2}
     mesh2 = _mesh_or_skip(dp=4, tp=2)
     assert mesh2.axis_names == ("dp", "tp")
+
+
+@pytest.mark.parametrize(
+    "mesh_kw",
+    [
+        dict(dp=2, sp=4),                # deep sequence split (25 frames/rank)
+        dict(dp=2, sp=2, tp=2),          # all three axes at once
+        dict(dp=4, sp=2),                # sp composes with dp
+    ],
+)
+def test_sp_encode_matches_single_device(deep_model, mel, xa_ref, mesh_kw):
+    """Sequence-parallel encoder (parallel/sequence.py): frames sharded over
+    sp with per-layer K/V all-gathers must reproduce graphs.encode."""
+    from whisper_tpu.parallel.sequence import sp_encode
+
+    mesh = _mesh_or_skip(**mesh_kw)
+    fn = sp_encode(deep_model, mesh)
+    xa = np.asarray(fn(deep_model.params["encoder"], mel))
+    assert xa.shape == xa_ref.shape
+    np.testing.assert_allclose(xa, xa_ref, atol=2e-5, rtol=1e-5)
+
+
+def test_sp_encode_rejects_indivisible_frames(deep_model):
+    """T=100 frames, sp=8: a silent uneven shard would corrupt positions."""
+    from whisper_tpu.parallel.mesh import make_mesh
+    from whisper_tpu.parallel.sequence import sp_encode
+
+    mesh = _mesh_or_skip(dp=1, sp=8)
+    fn = sp_encode(deep_model, mesh)
+    with pytest.raises(Exception, match="not divisible by sp"):
+        fn(deep_model.params["encoder"],
+           np.zeros((8, 80, 200), np.float32))
+
+
+def test_make_mesh_sp_axis_order():
+    """(dp, pp, sp, tp): sp sits between pp and tp."""
+    mesh = _mesh_or_skip(dp=1, pp=2, sp=2, tp=2)
+    assert mesh.axis_names == ("dp", "pp", "sp", "tp")
+    mesh2 = _mesh_or_skip(dp=4, sp=2)
+    assert mesh2.axis_names == ("dp", "sp", "tp")
+    assert dict(mesh2.shape) == {"dp": 4, "sp": 2, "tp": 1}
