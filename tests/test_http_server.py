@@ -1,0 +1,161 @@
+"""OpenAI-compatible HTTP endpoint: multipart uploads through the continuous
+batcher must return the transcript sequential transcribe() produces, in each
+response_format; malformed requests get OpenAI-schema errors."""
+
+import json
+import threading
+import urllib.request
+import uuid
+
+import pytest
+
+
+def _multipart(fields: dict, file_bytes: bytes, filename: str):
+    boundary = uuid.uuid4().hex
+    parts = []
+    for k, v in fields.items():
+        parts.append(
+            f'--{boundary}\r\nContent-Disposition: form-data; name="{k}"'
+            f"\r\n\r\n{v}\r\n".encode()
+        )
+    parts.append(
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="{filename}"\r\nContent-Type: application/octet-stream'
+        f"\r\n\r\n".encode()
+        + file_bytes
+        + b"\r\n"
+    )
+    parts.append(f"--{boundary}--\r\n".encode())
+    return b"".join(parts), f"multipart/form-data; boundary={boundary}"
+
+
+def _post(url: str, body: bytes, content_type: str, timeout=300.0):
+    req = urllib.request.Request(
+        url, data=body, headers={"Content-Type": content_type}, method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return r.status, r.headers.get("Content-Type", ""), r.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type", ""), e.read()
+
+
+@pytest.fixture(scope="module")
+def http_server(tpu_model):
+    from whisper_tpu.http_server import TranscriptionHTTPServer
+
+    srv = TranscriptionHTTPServer(
+        tpu_model, "127.0.0.1", 0, slots=2, language="en", temperature=0.0
+    )
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    yield f"http://{srv.host}:{srv.port}", srv
+    srv.shutdown()
+    th.join(timeout=10)
+
+
+def test_healthz(http_server):
+    url, _ = http_server
+    with urllib.request.urlopen(f"{url}/healthz", timeout=10) as r:
+        body = json.loads(r.read())
+    assert body["ok"] is True and body["slots"] == 2
+
+
+def test_transcription_json_matches_transcribe(http_server, tpu_model, jfk_flac_path):
+    url, _ = http_server
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    body, ctype = _multipart({"model": "whisper-1"}, data, "jfk.flac")
+    status, rtype, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 200 and rtype.startswith("application/json"), resp
+    out = json.loads(resp)
+    ref = tpu_model.transcribe(
+        jfk_flac_path, language="en", temperature=0.0, verbose=None
+    )
+    assert out == {"text": ref["text"]}
+
+
+def test_response_formats(http_server, tpu_model, jfk_flac_path):
+    url, _ = http_server
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    ref = tpu_model.transcribe(
+        jfk_flac_path, language="en", temperature=0.0, verbose=None
+    )
+
+    body, ctype = _multipart({"response_format": "text"}, data, "jfk.flac")
+    status, rtype, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 200 and rtype.startswith("text/plain")
+    assert resp.decode().strip() == ref["text"].strip()
+
+    body, ctype = _multipart({"response_format": "verbose_json"}, data, "jfk.flac")
+    status, rtype, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 200
+    out = json.loads(resp)
+    assert out["task"] == "transcribe" and out["language"] == "en"
+    assert out["text"] == ref["text"]
+    assert len(out["segments"]) == len(ref["segments"])
+    if out["segments"]:
+        assert out["duration"] == pytest.approx(ref["segments"][-1]["end"], abs=1e-3)
+
+
+def test_concurrent_uploads_share_slots(http_server, tpu_model, jfk_flac_path):
+    url, _ = http_server
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    ref = tpu_model.transcribe(
+        jfk_flac_path, language="en", temperature=0.0, verbose=None
+    )
+    out = [None] * 3
+
+    def client(i):
+        body, ctype = _multipart({}, data, "jfk.flac")
+        out[i] = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+
+    threads = [threading.Thread(target=client, args=(i,)) for i in range(3)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    for status, _, resp in out:
+        assert status == 200
+        assert json.loads(resp)["text"] == ref["text"]
+
+
+def test_http_errors(http_server):
+    url, srv = http_server
+
+    # missing file field
+    body, ctype = _multipart({"model": "whisper-1"}, b"", "x")
+    status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 400 and "file" in json.loads(resp)["error"]["message"]
+
+    # non-multipart body
+    status, _, resp = _post(
+        f"{url}/v1/audio/transcriptions", b'{"x": 1}', "application/json"
+    )
+    assert status == 400
+
+    # language contradicting the pinned server language
+    body, ctype = _multipart({"language": "fr"}, b"RIFFxxxx", "a.wav")
+    status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 400 and "pinned" in json.loads(resp)["error"]["message"]
+
+    # undecodable audio bytes -> 400 from submit, not a hang
+    body, ctype = _multipart({}, b"not audio at all", "a.wav")
+    status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 400
+
+    # unknown routes
+    status, _, _ = _post(f"{url}/v1/other", b"", "text/plain")
+    assert status == 404
+    req = urllib.request.Request(f"{url}/nope")
+    try:
+        urllib.request.urlopen(req, timeout=10)
+        assert False, "expected 404"
+    except urllib.error.HTTPError as e:
+        assert e.code == 404
+
+    # per-request state must not accumulate
+    assert srv._pending_for_ticket == {}
+    assert srv.batcher._streams == {} or srv.batcher.pending() == 0

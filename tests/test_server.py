@@ -97,3 +97,42 @@ def test_server_five_clients_two_slots(server, tpu_model, jfk_flac_path):
     )
     assert all(r is not None and "error" not in r for r in out), out
     assert {r["text"] for r in out} == {ref["text"]}
+
+
+def test_server_soak_no_state_leak(server, jfk_flac_path):
+    """A long-running daemon must not accumulate per-request state: after N
+    requests drain, every batcher/server dict is empty (the leak class the
+    r3 review pass found and fixed via pop() eviction)."""
+    sock, srv = server
+    N, waves = 12, 3
+    results = []
+    lock = threading.Lock()
+
+    def client():
+        r = _request(sock, {"audio": jfk_flac_path})
+        with lock:
+            results.append(r)
+
+    for _ in range(waves):
+        threads = [threading.Thread(target=client) for _ in range(N // waves)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=300)
+
+    assert len(results) == N
+    texts = {r.get("text") for r in results}
+    assert all("error" not in r for r in results), results
+    assert len(texts) == 1  # identical input -> identical transcript
+
+    # wait for the serve loop to finish replying, then check state
+    import time
+
+    for _ in range(100):
+        if not srv._conn_for_ticket and srv.batcher.pending() == 0:
+            break
+        time.sleep(0.05)
+    b = srv.batcher
+    assert srv._conn_for_ticket == {}
+    assert b._streams == {} and b._langs == {} and b._results == {}
+    assert not b._queue and all(t is None for t in b._slot_ticket)

@@ -1,0 +1,304 @@
+"""OpenAI-compatible HTTP transcription server over the continuous batcher.
+
+`POST /v1/audio/transcriptions` (multipart/form-data, field `file`) — the
+wire format of the OpenAI Whisper API — so off-the-shelf clients
+(`openai.audio.transcriptions.create(...)`, curl scripts) point at this
+server unchanged. Concurrent uploads share the fixed-slot lockstep decoder
+(whisper_tpu/continuous.py): K in-flight requests cost ~one batched decode
+per 30 s window round instead of K sequential transcriptions.
+
+Stdlib only (http.server + email multipart parsing — no flask/fastapi, the
+environment is hermetic). The reference has no serving story at all; this
+and the unix-socket daemon (whisper_tpu/server.py, runtime/wtpu_transcribe
+--serve) are the deployment surface the rebuild adds.
+
+Endpoints:
+  POST /v1/audio/transcriptions   multipart form: file (required),
+                                  response_format (json | text |
+                                  verbose_json; default json)
+  GET  /healthz                   {"ok": true, "model": ..., "slots": N}
+
+Model/decoding options are fixed at server construction — per-request
+options would change compiled shapes, defeating the single-compile design
+(same rule as the socket daemon). A form `model` field is accepted and
+ignored (OpenAI clients always send one); a `language` field that
+contradicts the server's pinned language is a 400.
+
+Threading model: HTTP handler threads only parse uploads and enqueue;
+everything that touches JAX runs on the single serve_forever() thread.
+
+Usage:
+    python -m whisper_tpu.http_server --port 8000 --model turbo --slots 4
+    curl -s localhost:8000/v1/audio/transcriptions -F file=@clip.flac
+"""
+
+import json
+import os
+import queue
+import tempfile
+import threading
+from email.parser import BytesParser
+from email.policy import HTTP
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+from .continuous import ContinuousBatcher
+
+MAX_UPLOAD_BYTES = 512 << 20  # ~8.7 h of 16 kHz s16 mono
+
+
+class _Pending:
+    """One in-flight request: the handler thread parks on `event` until the
+    serve loop resolves `response` (status, payload dict-or-text)."""
+
+    __slots__ = ("event", "response", "tmp_path", "response_format")
+
+    def __init__(self, tmp_path: str, response_format: str):
+        self.event = threading.Event()
+        self.response = None
+        self.tmp_path = tmp_path
+        self.response_format = response_format
+
+
+def _parse_multipart(content_type: str, body: bytes):
+    """-> {field_name: bytes_or_str_value, ...} plus the file part's bytes.
+
+    Parsed with the stdlib email machinery: the request body IS a MIME
+    multipart document once re-headed with its Content-Type."""
+    head = f"Content-Type: {content_type}\r\nMIME-Version: 1.0\r\n\r\n".encode()
+    msg = BytesParser(policy=HTTP).parsebytes(head + body)
+    if not msg.is_multipart():
+        raise ValueError("expected multipart/form-data")
+    fields = {}
+    file_bytes = None
+    file_name = None
+    for part in msg.iter_parts():
+        name = part.get_param("name", header="content-disposition")
+        if name is None:
+            continue
+        payload = part.get_payload(decode=True)
+        if name == "file":
+            file_bytes = payload
+            file_name = part.get_filename() or "upload"
+        else:
+            fields[name] = payload.decode("utf-8", "replace").strip()
+    return fields, file_bytes, file_name
+
+
+def _format_response(result: dict, response_format: str):
+    """-> (content_type, body_bytes) in the OpenAI response schema."""
+    if response_format == "text":
+        return "text/plain; charset=utf-8", (result["text"].strip() + "\n").encode()
+    if response_format == "verbose_json":
+        segs = result.get("segments", [])
+        body = {
+            "task": "transcribe",
+            "language": result.get("language"),
+            "duration": round(float(segs[-1]["end"]), 3) if segs else 0.0,
+            "text": result["text"],
+            "segments": segs,
+        }
+        return "application/json", json.dumps(body).encode()
+    return "application/json", json.dumps({"text": result["text"]}).encode()
+
+
+class TranscriptionHTTPServer:
+    def __init__(
+        self,
+        model,
+        host: str = "127.0.0.1",
+        port: int = 8000,
+        slots: int = 4,
+        **batcher_options,
+    ):
+        self.model = model
+        self.slots = slots
+        self.language = batcher_options.get("language")
+        self.batcher = ContinuousBatcher(model, slots=slots, **batcher_options)
+        self._make_batcher = lambda: ContinuousBatcher(
+            model, slots=slots, **batcher_options
+        )
+        self._requests: "queue.Queue[_Pending]" = queue.Queue()
+        self._pending_for_ticket = {}
+        self._stop = threading.Event()
+
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            protocol_version = "HTTP/1.1"
+
+            def log_message(self, *a):  # quiet; errors surface in responses
+                pass
+
+            def _send(self, status: int, content_type: str, body: bytes):
+                self.send_response(status)
+                self.send_header("Content-Type", content_type)
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+
+            def _send_json(self, status: int, obj: dict):
+                self._send(status, "application/json", json.dumps(obj).encode())
+
+            def _send_error_openai(self, status: int, message: str):
+                self._send_json(status, {"error": {"message": message}})
+
+            def do_GET(self):
+                if self.path == "/healthz":
+                    self._send_json(
+                        200,
+                        {"ok": True, "model": server.model.name, "slots": server.slots},
+                    )
+                else:
+                    self._send_error_openai(404, f"no route {self.path}")
+
+            def do_POST(self):
+                if self.path.rstrip("/") != "/v1/audio/transcriptions":
+                    self._send_error_openai(404, f"no route {self.path}")
+                    return
+                try:
+                    length = int(self.headers.get("Content-Length", "0"))
+                    if length <= 0:
+                        raise ValueError("empty body")
+                    if length > MAX_UPLOAD_BYTES:
+                        raise ValueError("upload exceeds 512 MiB")
+                    ctype = self.headers.get("Content-Type", "")
+                    if "multipart/form-data" not in ctype:
+                        raise ValueError(
+                            "expected multipart/form-data with a 'file' field"
+                        )
+                    fields, file_bytes, file_name = _parse_multipart(
+                        ctype, self.rfile.read(length)
+                    )
+                    if not file_bytes:
+                        raise ValueError("missing 'file' field")
+                    lang = fields.get("language")
+                    if lang and server.language and lang != server.language:
+                        raise ValueError(
+                            f"server language is pinned to {server.language!r} "
+                            "(per-request languages would change compiled shapes)"
+                        )
+                    response_format = fields.get("response_format", "json")
+                    if response_format not in ("json", "text", "verbose_json"):
+                        raise ValueError(
+                            f"unsupported response_format {response_format!r}"
+                        )
+                except Exception as e:
+                    self._send_error_openai(400, str(e))
+                    return
+
+                # decoding happens via the audio frontend, which sniffs the
+                # container (WAV/FLAC native, anything else via ffmpeg) — it
+                # needs a path, so the upload lands in a temp file
+                suffix = os.path.splitext(file_name)[1] or ".bin"
+                fd, tmp_path = tempfile.mkstemp(prefix="wtpu_http_", suffix=suffix)
+                with os.fdopen(fd, "wb") as f:
+                    f.write(file_bytes)
+                pending = _Pending(tmp_path, response_format)
+                server._requests.put(pending)
+                pending.event.wait()
+
+                status, payload = pending.response
+                if status != 200:
+                    self._send_error_openai(status, payload)
+                    return
+                ctype_out, body = _format_response(payload, response_format)
+                self._send(200, ctype_out, body)
+
+        self._handler_cls = Handler
+        self._httpd = ThreadingHTTPServer((host, port), Handler)
+        self._httpd.daemon_threads = True
+        self.host, self.port = self._httpd.server_address[:2]
+
+    # ---------------------------------------------------------------- serve
+
+    def _resolve(self, pending: _Pending, status: int, payload):
+        try:
+            os.unlink(pending.tmp_path)
+        except OSError:
+            pass
+        pending.response = (status, payload)
+        pending.event.set()
+
+    def _admit(self, block: bool):
+        try:
+            pending = self._requests.get(timeout=0.05) if block else (
+                self._requests.get_nowait()
+            )
+        except queue.Empty:
+            return
+        try:
+            ticket = self.batcher.submit(pending.tmp_path)
+        except Exception as e:
+            self._resolve(pending, 400, f"{type(e).__name__}: {e}")
+            return
+        if self.batcher.ready(ticket):  # sub-second audio resolves at submit
+            self._resolve(pending, 200, self.batcher.pop(ticket))
+        else:
+            self._pending_for_ticket[ticket] = pending
+
+    def serve_forever(self):
+        """Accept connections and run lockstep decode rounds until
+        shutdown(). HTTP IO runs on handler threads; this thread owns JAX."""
+        threading.Thread(target=self._httpd.serve_forever, daemon=True).start()
+        while not self._stop.is_set():
+            self._admit(block=not self._pending_for_ticket)
+            while not self._requests.empty():
+                self._admit(block=False)
+            if self._pending_for_ticket:
+                try:
+                    self.batcher.step()
+                except Exception as e:  # a failed round must not hang clients
+                    msg = f"decode round failed: {type(e).__name__}: {e}"
+                    for p in self._pending_for_ticket.values():
+                        self._resolve(p, 500, msg)
+                    self._pending_for_ticket.clear()
+                    self.batcher = self._make_batcher()
+                    continue
+                for t in [
+                    t for t in self._pending_for_ticket if self.batcher.ready(t)
+                ]:
+                    self._resolve(
+                        self._pending_for_ticket.pop(t), 200, self.batcher.pop(t)
+                    )
+        self._httpd.shutdown()
+
+    def shutdown(self):
+        self._stop.set()
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        description="OpenAI-compatible HTTP transcription server"
+    )
+    parser.add_argument("--host", default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=8000)
+    parser.add_argument("--model", default="turbo")
+    parser.add_argument("--slots", type=int, default=4)
+    parser.add_argument("--language", default=None)
+    parser.add_argument("--beam_size", type=int, default=None)
+    parser.add_argument("--temperature", type=float, default=None)
+    args = parser.parse_args(argv)
+
+    from . import load_model
+
+    model = load_model(args.model)
+    kw = {}
+    if args.beam_size is not None:
+        kw["beam_size"] = args.beam_size
+    if args.temperature is not None:
+        kw["temperature"] = args.temperature
+    srv = TranscriptionHTTPServer(
+        model, args.host, args.port, slots=args.slots, language=args.language, **kw
+    )
+    print(f"serving on http://{srv.host}:{srv.port} (slots={args.slots})", flush=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:
+        srv.shutdown()
+
+
+if __name__ == "__main__":
+    main()
