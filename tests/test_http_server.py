@@ -159,3 +159,32 @@ def test_http_errors(http_server):
     # per-request state must not accumulate
     assert srv._pending_for_ticket == {}
     assert srv.batcher._streams == {} or srv.batcher.pending() == 0
+
+
+def test_word_timestamps_in_verbose_json(tpu_model, jfk_flac_path):
+    """A server built with word_timestamps=True returns per-word times in
+    verbose_json segments (OpenAI word-granularity analog)."""
+    from whisper_tpu.http_server import TranscriptionHTTPServer
+
+    srv = TranscriptionHTTPServer(
+        tpu_model, "127.0.0.1", 0, slots=1, language="en",
+        temperature=0.0, word_timestamps=True,
+    )
+    th = threading.Thread(target=srv.serve_forever, daemon=True)
+    th.start()
+    try:
+        url = f"http://{srv.host}:{srv.port}"
+        with open(jfk_flac_path, "rb") as f:
+            data = f.read()
+        body, ctype = _multipart({"response_format": "verbose_json"}, data, "jfk.flac")
+        status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+        assert status == 200
+        out = json.loads(resp)
+        words = [w for s in out["segments"] for w in s.get("words", [])]
+        assert words, "no words in verbose_json segments"
+        for w in words:
+            assert set(w) >= {"word", "start", "end"}
+            assert 0.0 <= w["start"] <= w["end"]
+    finally:
+        srv.shutdown()
+        th.join(timeout=10)

@@ -177,6 +177,11 @@ def main(argv=None):
     parser.add_argument("--language", default=None)
     parser.add_argument("--beam_size", type=int, default=None)
     parser.add_argument("--temperature", type=float, default=None)
+    parser.add_argument(
+        "--word_timestamps",
+        action="store_true",
+        help="segments carry per-word times",
+    )
     args = parser.parse_args(argv)
 
     from . import load_model
@@ -188,7 +193,8 @@ def main(argv=None):
     if args.temperature is not None:
         kw["temperature"] = args.temperature
     srv = TranscriptionServer(
-        model, args.socket, slots=args.slots, language=args.language, **kw
+        model, args.socket, slots=args.slots, language=args.language,
+        word_timestamps=args.word_timestamps, **kw
     )
     print(f"serving on {args.socket} (slots={args.slots})", flush=True)
     try:
