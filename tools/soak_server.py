@@ -16,6 +16,8 @@ too); SOAK_MODEL=turbo runs the real model graph on the chip.
 Usage: python tools/soak_server.py [requests] [slots]
 Env:   SOAK_MODEL   (default: synthetic tiny 2-layer)
        SOAK_WAVE    concurrent clients per wave (default 4)
+       SOAK_HTTP=1  soak the OpenAI-compatible HTTP server instead of the
+                    unix-socket daemon (same batcher underneath)
 """
 
 import json
@@ -81,6 +83,33 @@ def request(sock_path: str, payload: dict, timeout=600.0) -> dict:
     return json.loads(buf.decode())
 
 
+def request_http(url: str, path: str, timeout=600.0) -> dict:
+    import urllib.error
+    import urllib.request
+    import uuid
+
+    with open(path, "rb") as f:
+        data = f.read()
+    boundary = uuid.uuid4().hex
+    body = (
+        f'--{boundary}\r\nContent-Disposition: form-data; name="file"; '
+        f'filename="{os.path.basename(path)}"\r\n\r\n'.encode()
+        + data
+        + f"\r\n--{boundary}--\r\n".encode()
+    )
+    req = urllib.request.Request(
+        f"{url}/v1/audio/transcriptions",
+        data=body,
+        headers={"Content-Type": f"multipart/form-data; boundary={boundary}"},
+        method="POST",
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return json.loads(e.read())
+
+
 def main():
     n_req = int(sys.argv[1]) if len(sys.argv) > 1 else 120
     slots = int(sys.argv[2]) if len(sys.argv) > 2 else 2
@@ -108,29 +137,43 @@ def main():
         write_wav(p, sec, seed=i)
         paths.append(p)
 
-    sock = os.path.join(tmp, "wtpu.sock")
-    srv = TranscriptionServer(
-        model, sock, slots=slots, language="en", temperature=0.0,
+    use_http = os.environ.get("SOAK_HTTP") == "1"
+    opts = dict(
+        slots=slots, language="en", temperature=0.0,
         no_speech_threshold=None, condition_on_previous_text=False,
         sample_len=16,
     )  # fmt: skip
-    th = threading.Thread(target=srv.serve_forever, daemon=True)
-    th.start()
-    for _ in range(200):
-        try:
-            s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
-            s.connect(sock)
-            s.close()
-            break
-        except OSError:
-            time.sleep(0.05)
+    if use_http:
+        from whisper_tpu.http_server import TranscriptionHTTPServer
+
+        srv = TranscriptionHTTPServer(model, "127.0.0.1", 0, **opts)
+        url = f"http://{srv.host}:{srv.port}"
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+    else:
+        sock = os.path.join(tmp, "wtpu.sock")
+        srv = TranscriptionServer(model, sock, **opts)
+        th = threading.Thread(target=srv.serve_forever, daemon=True)
+        th.start()
+        for _ in range(200):
+            try:
+                s = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+                s.connect(sock)
+                s.close()
+                break
+            except OSError:
+                time.sleep(0.05)
 
     ok = err = 0
     lock = threading.Lock()
 
     def client(i):
         nonlocal ok, err
-        r = request(sock, {"audio": paths[i % len(paths)]})
+        path = paths[i % len(paths)]
+        if use_http:
+            r = request_http(url, path)
+        else:
+            r = request(sock, {"audio": path})
         with lock:
             if isinstance(r, dict) and "text" in r:
                 ok += 1
@@ -161,12 +204,14 @@ def main():
     slope_per_100 = float(np.polyfit(xs, ys, 1)[0] * 100) if len(tail) > 2 else None
 
     b = srv.batcher
+    in_flight = srv._pending_for_ticket if use_http else srv._conn_for_ticket
     state_empty = (
-        not srv._conn_for_ticket and not b._streams and not b._langs
+        not in_flight and not b._streams and not b._langs
         and not b._results and not b._queue
     )  # fmt: skip
     print(json.dumps({
         "metric": "serving_soak",
+        "transport": "http" if use_http else "unix-socket",
         "model": model_name,
         "backend": jax.devices()[0].platform,
         "requests": n_req,
