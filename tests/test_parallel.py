@@ -199,3 +199,26 @@ def test_set_mesh_product_surface(tpu_model, mesh8, jfk_audio):
         assert [s["tokens"] for s in a["segments"]] == [
             s["tokens"] for s in b["segments"]
         ]
+
+
+def test_set_mesh_tolerates_extra_axes(tpu_model):
+    """A mesh carrying sp/pp axes (e.g. built for the pp/sp encoders) must
+    still drive the dp/tp product surface — the extra axes just replicate.
+    decode() output must match the single-device engine."""
+    from whisper_tpu.decoding import DecodingOptions, decode
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    rng = np.random.RandomState(9)
+    mel_batch4 = (rng.randn(4, 80, 3000) * 0.6).astype(np.float32)
+    kw = dict(language="en", temperature=0.0, sample_len=12)
+    plain = decode(tpu_model, mel_batch4, DecodingOptions(**kw))
+    tpu_model.set_mesh(make_mesh(dp=2, sp=2, tp=2))
+    try:
+        sharded = decode(tpu_model, mel_batch4, DecodingOptions(**kw))
+    finally:
+        tpu_model.set_mesh(None)
+    for a, b in zip(sharded, plain):
+        assert a.tokens == b.tokens
+        assert a.text == b.text
