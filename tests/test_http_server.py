@@ -188,3 +188,33 @@ def test_word_timestamps_in_verbose_json(tpu_model, jfk_flac_path):
     finally:
         srv.shutdown()
         th.join(timeout=10)
+
+
+def test_metrics_endpoint(http_server, jfk_flac_path):
+    """/metrics serves Prometheus text with consistent counters after a
+    request round-trips."""
+    url, srv = http_server
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    body, ctype = _multipart({}, data, "jfk.flac")
+    status, _, _ = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 200
+
+    with urllib.request.urlopen(f"{url}/metrics", timeout=10) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    vals = {
+        line.split()[0]: float(line.split()[1])
+        for line in text.splitlines()
+        if line and not line.startswith("#")
+    }
+    assert vals["wtpu_http_requests_total"] >= 1
+    assert vals["wtpu_requests_completed_total"] >= 1
+    assert (
+        vals["wtpu_requests_submitted_total"] >= vals["wtpu_requests_completed_total"]
+    )
+    assert vals["wtpu_decode_rounds_total"] >= 1
+    assert vals["wtpu_decode_round_seconds_total"] > 0
+    assert vals["wtpu_windows_decoded_total"] >= vals["wtpu_decode_rounds_total"]
+    assert vals["wtpu_slots"] == 2
+    assert vals["wtpu_requests_in_flight"] == 0

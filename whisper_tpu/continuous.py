@@ -144,6 +144,16 @@ class ContinuousBatcher:
         self._langs: Dict[int, str] = {}
         self._results: Dict[int, dict] = {}
         self._next_ticket = 0
+        # operational counters for servers/metrics endpoints (monotonic;
+        # never reset by pop()): submitted/completed requests, lockstep
+        # rounds with their wall time, and window-decodes performed
+        self.stats: Dict[str, float] = {
+            "requests_submitted": 0,
+            "requests_completed": 0,
+            "rounds": 0,
+            "round_seconds_sum": 0.0,
+            "windows_decoded": 0,
+        }
 
     # ------------------------------------------------------------------ API
 
@@ -153,6 +163,7 @@ class ContinuousBatcher:
         decoding happens in step()/drain()."""
         ticket = self._next_ticket
         self._next_ticket += 1
+        self.stats["requests_submitted"] += 1
         if self._device_mel:
             from .audio import load_audio
             from .ops.stft import device_mel_full
@@ -211,6 +222,9 @@ class ContinuousBatcher:
     def step(self) -> bool:
         """Admit queued requests into free slots and run ONE lockstep window
         round. Returns False when there is nothing left to do."""
+        import time as _time
+
+        _t0 = _time.perf_counter()
         for i in range(self.slots):
             if self._slot_ticket[i] is None and self._queue:
                 self._slot_ticket[i] = self._queue.popleft()
@@ -317,6 +331,9 @@ class ContinuousBatcher:
             if s.done:
                 self._finalize(ticket)
                 self._slot_ticket[i] = None
+        self.stats["rounds"] += 1
+        self.stats["round_seconds_sum"] += _time.perf_counter() - _t0
+        self.stats["windows_decoded"] += len(occupied)
         return True
 
     def drain(self) -> Dict[int, dict]:
@@ -330,6 +347,7 @@ class ContinuousBatcher:
 
     def _finalize(self, ticket: int):
         s = self._streams[ticket]
+        self.stats["requests_completed"] += 1
         self._results[ticket] = _stream_result(
             self.model, s, self._langs[ticket], self.task
         )

@@ -120,6 +120,8 @@ class TranscriptionHTTPServer:
         self._requests: "queue.Queue[_Pending]" = queue.Queue()
         self._pending_for_ticket = {}
         self._stop = threading.Event()
+        # HTTP-level counters; batcher-level ones live in batcher.stats
+        self.http_stats = {"http_requests_total": 0, "http_errors_total": 0}
 
         server = self
 
@@ -140,6 +142,7 @@ class TranscriptionHTTPServer:
                 self._send(status, "application/json", json.dumps(obj).encode())
 
             def _send_error_openai(self, status: int, message: str):
+                server.http_stats["http_errors_total"] += 1
                 self._send_json(status, {"error": {"message": message}})
 
             def do_GET(self):
@@ -148,10 +151,17 @@ class TranscriptionHTTPServer:
                         200,
                         {"ok": True, "model": server.model.name, "slots": server.slots},
                     )
+                elif self.path == "/metrics":
+                    self._send(
+                        200,
+                        "text/plain; version=0.0.4; charset=utf-8",
+                        server._render_metrics().encode(),
+                    )
                 else:
                     self._send_error_openai(404, f"no route {self.path}")
 
             def do_POST(self):
+                server.http_stats["http_requests_total"] += 1
                 if self.path.rstrip("/") != "/v1/audio/transcriptions":
                     self._send_error_openai(404, f"no route {self.path}")
                     return
@@ -210,6 +220,39 @@ class TranscriptionHTTPServer:
         self.host, self.port = self._httpd.server_address[:2]
 
     # ---------------------------------------------------------------- serve
+
+    def _render_metrics(self) -> str:
+        """Prometheus text exposition: HTTP counters + batcher round/request
+        counters + current occupancy. Counters are monotonic; gauges
+        reflect this instant."""
+        b = self.batcher
+        lines = []
+
+        def metric(name, kind, help_, value):
+            lines.append(f"# HELP {name} {help_}")
+            lines.append(f"# TYPE {name} {kind}")
+            lines.append(f"{name} {value}")
+
+        metric("wtpu_http_requests_total", "counter",
+               "POST requests received", self.http_stats["http_requests_total"])
+        metric("wtpu_http_errors_total", "counter",
+               "error responses sent", self.http_stats["http_errors_total"])
+        metric("wtpu_requests_submitted_total", "counter",
+               "requests admitted to the batcher", int(b.stats["requests_submitted"]))
+        metric("wtpu_requests_completed_total", "counter",
+               "requests fully transcribed", int(b.stats["requests_completed"]))
+        metric("wtpu_decode_rounds_total", "counter",
+               "lockstep window rounds run", int(b.stats["rounds"]))
+        metric("wtpu_decode_round_seconds_total", "counter",
+               "wall seconds inside decode rounds",
+               round(b.stats["round_seconds_sum"], 6))
+        metric("wtpu_windows_decoded_total", "counter",
+               "30s windows decoded (occupied slots x rounds)",
+               int(b.stats["windows_decoded"]))
+        metric("wtpu_slots", "gauge", "configured batcher slots", self.slots)
+        metric("wtpu_requests_in_flight", "gauge",
+               "requests admitted but not finished", b.pending())
+        return "\n".join(lines) + "\n"
 
     def _resolve(self, pending: _Pending, status: int, payload):
         try:
