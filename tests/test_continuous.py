@@ -233,3 +233,28 @@ def test_continuous_mesh_and_draft_compose(tpu_model, jfk_audio):
         tpu_model.set_mesh(None)
     for a, b in zip(combo, plain):
         assert a["text"] == b["text"]
+
+
+def test_submit_rejections_leave_no_state(tpu_model, tmp_path):
+    """Failed submissions must not leak stream state or bump the monotonic
+    requests_submitted counter (metrics derive backlog from it), and
+    per-request languages validate against the tokenizer's table and any
+    pinned batcher language."""
+    from whisper_tpu.continuous import ContinuousBatcher
+
+    cb = ContinuousBatcher(tpu_model, slots=2, language="en", temperature=0.0)
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"definitely not audio")
+    with pytest.raises(ValueError):
+        cb.submit(str(bad))
+    with pytest.raises(ValueError):
+        cb.submit(np.zeros(16000, np.float32), language="xx")  # unknown
+    with pytest.raises(ValueError):
+        cb.submit(np.zeros(16000, np.float32), language="fr")  # pinned en
+    assert cb.stats["requests_submitted"] == 0
+    assert cb.pending() == 0 and cb._streams == {} and len(cb._queue) == 0
+
+    # full names alias to codes; matching the pin is accepted
+    t = cb.submit(np.zeros(16000, np.float32), language="ENGLISH")
+    assert cb.stats["requests_submitted"] == 1
+    assert cb._langs[t] == "en"

@@ -75,7 +75,7 @@ def test_transcription_json_matches_transcribe(http_server, tpu_model, jfk_flac_
     assert out == {"text": ref["text"]}
 
 
-def test_response_formats(http_server, tpu_model, jfk_flac_path):
+def test_response_formats(http_server, tpu_model, jfk_flac_path, jfk_audio):
     url, _ = http_server
     with open(jfk_flac_path, "rb") as f:
         data = f.read()
@@ -95,8 +95,9 @@ def test_response_formats(http_server, tpu_model, jfk_flac_path):
     assert out["task"] == "transcribe" and out["language"] == "en"
     assert out["text"] == ref["text"]
     assert len(out["segments"]) == len(ref["segments"])
-    if out["segments"]:
-        assert out["duration"] == pytest.approx(ref["segments"][-1]["end"], abs=1e-3)
+    # duration is the uploaded audio's true length (OpenAI schema), NOT the
+    # last segment's end (speech may stop early / be gated as silence)
+    assert out["duration"] == pytest.approx(len(jfk_audio) / 16000, abs=0.05)
 
 
 def test_concurrent_uploads_share_slots(http_server, tpu_model, jfk_flac_path):
@@ -161,6 +162,67 @@ def test_http_errors(http_server):
     assert srv.batcher._streams == {} or srv.batcher.pending() == 0
 
 
+def test_keepalive_discipline(http_server, jfk_flac_path):
+    """Errors raised before the request body is read must CLOSE the
+    connection (unread body bytes would be parsed as the next request line,
+    desynchronizing every pooled request after); errors raised after the
+    body is read keep the connection usable."""
+    import http.client
+
+    url, _ = http_server
+    host, port = url[len("http://"):].rsplit(":", 1)
+
+    # (a) non-multipart body -> 400 without reading the body -> close
+    conn = http.client.HTTPConnection(host, int(port), timeout=30)
+    conn.request(
+        "POST",
+        "/v1/audio/transcriptions",
+        b'{"x": 1}',
+        {"Content-Type": "application/json"},
+    )
+    r = conn.getresponse()
+    assert r.status == 400
+    assert (r.getheader("Connection") or "").lower() == "close"
+    r.read()
+    conn.close()
+
+    # (b) missing-file 400 (body fully read) then a valid request — with a
+    # query string on the URL — ride the SAME socket without desync
+    conn = http.client.HTTPConnection(host, int(port), timeout=120)
+    body, ctype = _multipart({"model": "whisper-1"}, b"", "x")
+    conn.request(
+        "POST", "/v1/audio/transcriptions", body, {"Content-Type": ctype}
+    )
+    r = conn.getresponse()
+    assert r.status == 400
+    assert "file" in json.loads(r.read())["error"]["message"]
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    body, ctype = _multipart({}, data, "jfk.flac")
+    conn.request(
+        "POST",
+        "/v1/audio/transcriptions?api-version=2026-08",
+        body,
+        {"Content-Type": ctype},
+    )
+    r = conn.getresponse()
+    assert r.status == 200
+    assert json.loads(r.read())["text"]
+    conn.close()
+
+
+def test_rejected_submits_do_not_count_as_admitted(http_server):
+    """A 400-rejected upload must not bump wtpu_requests_submitted_total:
+    submitted - completed is the natural backlog derivation and must not
+    drift on malformed traffic."""
+    url, srv = http_server
+    before = int(srv.batcher.stats["requests_submitted"])
+    body, ctype = _multipart({}, b"not audio at all", "a.wav")
+    status, _, _ = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 400
+    assert int(srv.batcher.stats["requests_submitted"]) == before
+
+
 def test_word_timestamps_in_verbose_json(tpu_model, jfk_flac_path):
     """A server built with word_timestamps=True returns per-word times in
     verbose_json segments (OpenAI word-granularity analog)."""
@@ -218,3 +280,47 @@ def test_metrics_endpoint(http_server, jfk_flac_path):
     assert vals["wtpu_windows_decoded_total"] >= vals["wtpu_decode_rounds_total"]
     assert vals["wtpu_slots"] == 2
     assert vals["wtpu_requests_in_flight"] == 0
+
+
+def test_shutdown_resolves_inflight_requests(tpu_model):
+    """shutdown() must not strand handler threads: queued requests resolve
+    with 503 instead of waiting forever on their event."""
+    from whisper_tpu.http_server import TranscriptionHTTPServer, _Pending
+
+    srv = TranscriptionHTTPServer(tpu_model, "127.0.0.1", 0, slots=1, language="en")
+    p = _Pending("/nonexistent", "json")
+    srv._requests.put(p)
+    srv.shutdown()
+    srv.serve_forever()  # exits immediately; must resolve the queued request
+    assert p.event.is_set()
+    assert p.response[0] == 503
+
+
+# runs LAST in this module on purpose: it injects a failing decode round,
+# which makes the server swap in a replacement batcher
+def test_failed_round_answers_clients_and_keeps_counters(
+    http_server, jfk_flac_path
+):
+    url, srv = http_server
+    rounds_before = int(srv.batcher.stats["rounds"])
+    assert rounds_before > 0  # earlier tests decoded through this batcher
+
+    def boom():
+        raise RuntimeError("injected decode failure")
+
+    srv.batcher.step = boom
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    body, ctype = _multipart({}, data, "jfk.flac")
+    status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 500
+    assert "injected decode failure" in json.loads(resp)["error"]["message"]
+    assert srv._pending_for_ticket == {}
+
+    # the replacement batcher carries the monotonic counters over
+    assert int(srv.batcher.stats["rounds"]) >= rounds_before
+
+    # ... and serves correctly
+    status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+    assert status == 200
+    assert json.loads(resp)["text"]

@@ -157,29 +157,52 @@ class ContinuousBatcher:
 
     # ------------------------------------------------------------------ API
 
-    def submit(self, audio: Union[str, np.ndarray]) -> int:
+    def submit(
+        self, audio: Union[str, np.ndarray], *, language: Optional[str] = None
+    ) -> int:
         """Queue one audio (path or waveform) for transcription; returns a
-        ticket for `result()`. Computes the host mel now (cheap, one pass);
-        decoding happens in step()/drain()."""
-        ticket = self._next_ticket
-        self._next_ticket += 1
-        self.stats["requests_submitted"] += 1
-        if self._device_mel:
+        ticket for `result()`. Computes the mel now (cheap, one pass);
+        decoding happens in step()/drain(). `language` overrides
+        auto-detection for this request; it must match the batcher language
+        when one is pinned (per-request languages don't change compiled
+        shapes — streams already group by language per round)."""
+        if language is not None:
+            from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE
+
+            language = language.lower()
+            language = TO_LANGUAGE_CODE.get(language, language)
+            if language not in LANGUAGES:
+                raise ValueError(f"unsupported language: {language!r}")
+            if self.language is not None and language != self.language:
+                raise ValueError(
+                    f"batcher language is pinned to {self.language!r}"
+                )
+        if isinstance(audio, str):
             from .audio import load_audio
+
+            try:
+                audio = load_audio(audio)
+            except ValueError:
+                raise
+            except Exception as e:
+                # an undecodable upload is a caller fault, not an internal
+                # error — servers map ValueError to a 4xx response
+                raise ValueError(f"could not decode audio: {e}") from e
+        ticket = self._next_ticket
+        if self._device_mel:
             from .ops.stft import device_mel_full
 
-            wav = load_audio(audio) if isinstance(audio, str) else np.asarray(
-                audio, np.float32
-            )
+            wav = np.asarray(audio, np.float32)
             dmel, content_frames = device_mel_full(wav, self.model.dims.n_mels)
             s = _Stream(ticket, None, content_frames)
             s.device_mel = dmel
         else:
             mel = log_mel_spectrogram(audio, self.model.dims.n_mels, padding=N_SAMPLES)
             s = _Stream(ticket, np.asarray(mel), mel.shape[-1] - N_FRAMES)
-        self._streams[ticket] = s
-        if self.language is not None:
-            self._langs[ticket] = self.language
+        if language is not None:
+            lang = language
+        elif self.language is not None:
+            lang = self.language
         else:
             # detect on the stream's full first window (incl. its real
             # silence-mel padding — the host path's mel[:, :N_FRAMES])
@@ -190,7 +213,13 @@ class ContinuousBatcher:
             else:
                 first = np.asarray(s.mel[:, :N_FRAMES], np.float32)
             _, probs = self.model.detect_language(first)
-            self._langs[ticket] = max(probs, key=probs.get)
+            lang = max(probs, key=probs.get)
+        # commit point — nothing below raises, so a failed submission
+        # leaves no stream state behind and never bumps the counters
+        self._next_ticket += 1
+        self._streams[ticket] = s
+        self._langs[ticket] = lang
+        self.stats["requests_submitted"] += 1
         if s.done:  # sub-second audio: resolves immediately with empty text
             self._finalize(ticket)
         else:
@@ -346,10 +375,14 @@ class ContinuousBatcher:
     # ------------------------------------------------------------- internal
 
     def _finalize(self, ticket: int):
+        from .audio import HOP_LENGTH, SAMPLE_RATE
+
         s = self._streams[ticket]
         self.stats["requests_completed"] += 1
-        self._results[ticket] = _stream_result(
-            self.model, s, self._langs[ticket], self.task
-        )
+        out = _stream_result(self.model, s, self._langs[ticket], self.task)
+        # the true audio duration (serving layers report it; transcribe()'s
+        # schema has no such field, so only batcher results carry it)
+        out["duration"] = round(s.content_frames * HOP_LENGTH / SAMPLE_RATE, 3)
+        self._results[ticket] = out
         s.mel = None  # free the host mel
         s.device_mel = None  # free the device mel buffer

@@ -21,8 +21,11 @@ Endpoints:
 Model/decoding options are fixed at server construction — per-request
 options would change compiled shapes, defeating the single-compile design
 (same rule as the socket daemon). A form `model` field is accepted and
-ignored (OpenAI clients always send one); a `language` field that
-contradicts the server's pinned language is a 400.
+ignored (OpenAI clients always send one); a `language` field is honored
+per request when the server has no pinned language (streams group by
+language per round anyway) and is a 400 when it contradicts a pinned one.
+Uploads buffer in RAM while being parsed; WHISPER_TPU_HTTP_MAX_UPLOADS
+(default 4) bounds how many buffer concurrently.
 
 Threading model: HTTP handler threads only parse uploads and enqueue;
 everything that touches JAX runs on the single serve_forever() thread.
@@ -50,13 +53,14 @@ class _Pending:
     """One in-flight request: the handler thread parks on `event` until the
     serve loop resolves `response` (status, payload dict-or-text)."""
 
-    __slots__ = ("event", "response", "tmp_path", "response_format")
+    __slots__ = ("event", "response", "tmp_path", "response_format", "language")
 
-    def __init__(self, tmp_path: str, response_format: str):
+    def __init__(self, tmp_path: str, response_format: str, language=None):
         self.event = threading.Event()
         self.response = None
         self.tmp_path = tmp_path
         self.response_format = response_format
+        self.language = language
 
 
 def _parse_multipart(content_type: str, body: bytes):
@@ -90,10 +94,15 @@ def _format_response(result: dict, response_format: str):
         return "text/plain; charset=utf-8", (result["text"].strip() + "\n").encode()
     if response_format == "verbose_json":
         segs = result.get("segments", [])
+        # the batcher records the true audio duration; fall back to the last
+        # segment's end only for result dicts that predate the field
+        duration = result.get(
+            "duration", round(float(segs[-1]["end"]), 3) if segs else 0.0
+        )
         body = {
             "task": "transcribe",
             "language": result.get("language"),
-            "duration": round(float(segs[-1]["end"]), 3) if segs else 0.0,
+            "duration": float(duration),
             "text": result["text"],
             "segments": segs,
         }
@@ -120,8 +129,17 @@ class TranscriptionHTTPServer:
         self._requests: "queue.Queue[_Pending]" = queue.Queue()
         self._pending_for_ticket = {}
         self._stop = threading.Event()
-        # HTTP-level counters; batcher-level ones live in batcher.stats
+        # HTTP-level counters; batcher-level ones live in batcher.stats.
+        # Bumped from concurrent handler threads -> lock (dict += is not
+        # atomic across its read-modify-write bytecodes).
         self.http_stats = {"http_requests_total": 0, "http_errors_total": 0}
+        self._stats_lock = threading.Lock()
+        # bound concurrent upload buffering: each in-flight multipart parse
+        # holds ~2-3x the body in RAM, and ThreadingHTTPServer spawns one
+        # thread per connection with no limit of its own
+        self._upload_sem = threading.BoundedSemaphore(
+            int(os.environ.get("WHISPER_TPU_HTTP_MAX_UPLOADS", "4"))
+        )
 
         server = self
 
@@ -135,6 +153,8 @@ class TranscriptionHTTPServer:
                 self.send_response(status)
                 self.send_header("Content-Type", content_type)
                 self.send_header("Content-Length", str(len(body)))
+                if self.close_connection:
+                    self.send_header("Connection", "close")
                 self.end_headers()
                 self.wfile.write(body)
 
@@ -142,8 +162,17 @@ class TranscriptionHTTPServer:
                 self._send(status, "application/json", json.dumps(obj).encode())
 
             def _send_error_openai(self, status: int, message: str):
-                server.http_stats["http_errors_total"] += 1
+                server._bump("http_errors_total")
                 self._send_json(status, {"error": {"message": message}})
+
+            def _fail_before_body_read(self, status: int, message: str):
+                """Error out WITHOUT having consumed the request body. On a
+                keep-alive (HTTP/1.1) connection the unread bytes would be
+                parsed as the next request line, desynchronizing every
+                pooled request after this one — close the connection
+                instead of draining up to MAX_UPLOAD_BYTES."""
+                self.close_connection = True
+                self._send_error_openai(status, message)
 
             def do_GET(self):
                 if self.path == "/healthz":
@@ -161,49 +190,62 @@ class TranscriptionHTTPServer:
                     self._send_error_openai(404, f"no route {self.path}")
 
             def do_POST(self):
-                server.http_stats["http_requests_total"] += 1
-                if self.path.rstrip("/") != "/v1/audio/transcriptions":
-                    self._send_error_openai(404, f"no route {self.path}")
+                server._bump("http_requests_total")
+                # self.path carries any query string — match on the path part
+                # (gateways append api-version/tracing params to valid URLs)
+                path = self.path.split("?", 1)[0].rstrip("/")
+                if path != "/v1/audio/transcriptions":
+                    self._fail_before_body_read(404, f"no route {self.path}")
                     return
-                try:
-                    length = int(self.headers.get("Content-Length", "0"))
-                    if length <= 0:
-                        raise ValueError("empty body")
-                    if length > MAX_UPLOAD_BYTES:
-                        raise ValueError("upload exceeds 512 MiB")
-                    ctype = self.headers.get("Content-Type", "")
-                    if "multipart/form-data" not in ctype:
-                        raise ValueError(
-                            "expected multipart/form-data with a 'file' field"
-                        )
-                    fields, file_bytes, file_name = _parse_multipart(
-                        ctype, self.rfile.read(length)
+                length = int(self.headers.get("Content-Length", "0") or 0)
+                if length <= 0:
+                    self._fail_before_body_read(400, "empty body")
+                    return
+                if length > MAX_UPLOAD_BYTES:
+                    self._fail_before_body_read(400, "upload exceeds 512 MiB")
+                    return
+                ctype = self.headers.get("Content-Type", "")
+                if "multipart/form-data" not in ctype:
+                    self._fail_before_body_read(
+                        400, "expected multipart/form-data with a 'file' field"
                     )
-                    if not file_bytes:
-                        raise ValueError("missing 'file' field")
-                    lang = fields.get("language")
-                    if lang and server.language and lang != server.language:
-                        raise ValueError(
-                            f"server language is pinned to {server.language!r} "
-                            "(per-request languages would change compiled shapes)"
-                        )
-                    response_format = fields.get("response_format", "json")
-                    if response_format not in ("json", "text", "verbose_json"):
-                        raise ValueError(
-                            f"unsupported response_format {response_format!r}"
-                        )
-                except Exception as e:
-                    self._send_error_openai(400, str(e))
                     return
+                with server._upload_sem:
+                    body = self.rfile.read(length)
+                    try:
+                        fields, file_bytes, file_name = _parse_multipart(
+                            ctype, body
+                        )
+                        del body
+                        if not file_bytes:
+                            raise ValueError("missing 'file' field")
+                        lang = fields.get("language") or None
+                        if lang and server.language and lang != server.language:
+                            raise ValueError(
+                                f"server language is pinned to "
+                                f"{server.language!r} (per-request languages "
+                                "would change compiled shapes)"
+                            )
+                        response_format = fields.get("response_format", "json")
+                        if response_format not in ("json", "text", "verbose_json"):
+                            raise ValueError(
+                                f"unsupported response_format {response_format!r}"
+                            )
+                    except Exception as e:
+                        self._send_error_openai(400, str(e))
+                        return
 
-                # decoding happens via the audio frontend, which sniffs the
-                # container (WAV/FLAC native, anything else via ffmpeg) — it
-                # needs a path, so the upload lands in a temp file
-                suffix = os.path.splitext(file_name)[1] or ".bin"
-                fd, tmp_path = tempfile.mkstemp(prefix="wtpu_http_", suffix=suffix)
-                with os.fdopen(fd, "wb") as f:
-                    f.write(file_bytes)
-                pending = _Pending(tmp_path, response_format)
+                    # decoding happens via the audio frontend, which sniffs
+                    # the container (WAV/FLAC native, anything else via
+                    # ffmpeg) — it needs a path, so the upload lands in a
+                    # temp file
+                    suffix = os.path.splitext(file_name)[1] or ".bin"
+                    fd, tmp_path = tempfile.mkstemp(
+                        prefix="wtpu_http_", suffix=suffix
+                    )
+                    with os.fdopen(fd, "wb") as f:
+                        f.write(file_bytes)
+                pending = _Pending(tmp_path, response_format, language=lang)
                 server._requests.put(pending)
                 pending.event.wait()
 
@@ -254,6 +296,10 @@ class TranscriptionHTTPServer:
                "requests admitted but not finished", b.pending())
         return "\n".join(lines) + "\n"
 
+    def _bump(self, name: str):
+        with self._stats_lock:
+            self.http_stats[name] += 1
+
     def _resolve(self, pending: _Pending, status: int, payload):
         try:
             os.unlink(pending.tmp_path)
@@ -270,9 +316,14 @@ class TranscriptionHTTPServer:
         except queue.Empty:
             return
         try:
-            ticket = self.batcher.submit(pending.tmp_path)
-        except Exception as e:
-            self._resolve(pending, 400, f"{type(e).__name__}: {e}")
+            ticket = self.batcher.submit(
+                pending.tmp_path, language=pending.language
+            )
+        except ValueError as e:  # undecodable upload / bad language
+            self._resolve(pending, 400, str(e))
+            return
+        except Exception as e:  # device/runtime fault is NOT the client's
+            self._resolve(pending, 500, f"{type(e).__name__}: {e}")
             return
         if self.batcher.ready(ticket):  # sub-second audio resolves at submit
             self._resolve(pending, 200, self.batcher.pop(ticket))
@@ -295,7 +346,11 @@ class TranscriptionHTTPServer:
                     for p in self._pending_for_ticket.values():
                         self._resolve(p, 500, msg)
                     self._pending_for_ticket.clear()
+                    # carry the counters over — /metrics documents them as
+                    # monotonic, and a mid-process reset breaks rate()
+                    stats = self.batcher.stats
                     self.batcher = self._make_batcher()
+                    self.batcher.stats = stats
                     continue
                 for t in [
                     t for t in self._pending_for_ticket if self.batcher.ready(t)
@@ -304,6 +359,18 @@ class TranscriptionHTTPServer:
                         self._pending_for_ticket.pop(t), 200, self.batcher.pop(t)
                     )
         self._httpd.shutdown()
+        # resolve everything still in flight — handler threads wait on their
+        # pending.event with no timeout, so abandoning them here would hang
+        # every connected client until TCP timeout
+        while True:
+            try:
+                p = self._requests.get_nowait()
+            except queue.Empty:
+                break
+            self._resolve(p, 503, "server shutting down")
+        for p in self._pending_for_ticket.values():
+            self._resolve(p, 503, "server shutting down")
+        self._pending_for_ticket.clear()
 
     def shutdown(self):
         self._stop.set()

@@ -109,7 +109,7 @@ class TranscriptionServer:
             self._reply(conn, {"error": "request must carry an 'audio' path"})
             return
         try:
-            ticket = self.batcher.submit(audio)
+            ticket = self.batcher.submit(audio, language=payload.get("language"))
         except Exception as e:
             self._reply(conn, {"error": f"{type(e).__name__}: {e}"})
             return
@@ -142,7 +142,10 @@ class TranscriptionServer:
                     self._conn_for_ticket.clear()
                     # the failed round's streams still occupy slots; start
                     # clean (jit caches live on the model, so no recompile)
+                    # but carry the monotonic counters over
+                    stats = self.batcher.stats
                     self.batcher = self._make_batcher()
+                    self.batcher.stats = stats
                     continue
                 for ticket in [t for t in self._conn_for_ticket if self.batcher.ready(t)]:
                     # pop() evicts the ticket's state — a daemon must not
@@ -151,6 +154,19 @@ class TranscriptionServer:
                         self._conn_for_ticket.pop(ticket), self.batcher.pop(ticket)
                     )
         self._listener.close()
+        # answer everything still in flight — clients block on their reply
+        # line, so silently dropping them would hang each until its own
+        # timeout
+        err = {"error": "server shutting down"}
+        while True:
+            try:
+                conn, _ = self._requests.get_nowait()
+            except queue.Empty:
+                break
+            self._reply(conn, err)
+        for conn in self._conn_for_ticket.values():
+            self._reply(conn, err)
+        self._conn_for_ticket.clear()
         if os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
 
