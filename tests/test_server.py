@@ -78,6 +78,17 @@ def test_server_bad_requests(server):
     assert "error" in _request(sock, {"audio": "/nonexistent/file.flac"})
 
 
+def test_server_language_field(server, jfk_flac_path):
+    """Per-request language: matching the pinned language (incl. full-name
+    alias) is accepted; contradicting it is an error line, not a hang."""
+    sock, _ = server
+    ok = _request(sock, {"audio": jfk_flac_path, "language": "English"})
+    assert "error" not in ok and ok["language"] == "en"
+    assert ok["duration"] == pytest.approx(11.0, abs=0.05)
+    bad = _request(sock, {"audio": jfk_flac_path, "language": "fr"})
+    assert "error" in bad and "pinned" in bad["error"]
+
+
 def test_server_five_clients_two_slots(server, tpu_model, jfk_flac_path):
     sock, _ = server
     n = 5

@@ -10,12 +10,14 @@ Protocol (mirrors the native daemon): a client connects to the unix socket,
 sends ONE JSON line, and receives ONE JSON line back:
 
     -> {"audio": "/path/to/file.flac"}                 (path on the server)
-    <- {"text": "...", "segments": [...], "language": "en"}
+    <- {"text": "...", "segments": [...], "language": "en", "duration": 11.0}
     <- {"error": "..."}                                 (on failure)
 
-Optional request fields: any ContinuousBatcher per-run option is fixed at
-server construction (slots, language, beam size, ...) — per-request options
-would change compiled shapes, defeating the single-compile design.
+Optional request fields: "language" overrides auto-detection when the
+server has no pinned language (an error when it contradicts a pinned one).
+Every other ContinuousBatcher option is fixed at server construction
+(slots, beam size, ...) — per-request options would change compiled
+shapes, defeating the single-compile design.
 
 Threading model: client sockets are read on acceptor threads (pure IO);
 everything that touches JAX — submit (device mel) and the lockstep rounds —
