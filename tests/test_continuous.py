@@ -258,3 +258,23 @@ def test_submit_rejections_leave_no_state(tpu_model, tmp_path):
     t = cb.submit(np.zeros(16000, np.float32), language="ENGLISH")
     assert cb.stats["requests_submitted"] == 1
     assert cb._langs[t] == "en"
+
+
+def test_pinned_language_normalizes_like_requests(tpu_model):
+    """A batcher pinned with a full language name ('English') must accept
+    requests for the same language in any alias form — the pin itself
+    normalizes through TO_LANGUAGE_CODE at construction (a raw-string pin
+    would reject every request, even 'English' itself, since requests
+    normalize to codes)."""
+    from whisper_tpu.continuous import ContinuousBatcher
+
+    cb = ContinuousBatcher(tpu_model, slots=1, language="English", temperature=0.0)
+    assert cb.language == "en"
+    t = cb.submit(np.zeros(16000, np.float32), language="english")
+    assert cb._langs[t] == "en"
+    t = cb.submit(np.zeros(16000, np.float32), language="EN")
+    assert cb._langs[t] == "en"
+    with pytest.raises(ValueError):
+        cb.submit(np.zeros(16000, np.float32), language="fr")
+    with pytest.raises(ValueError):
+        ContinuousBatcher(tpu_model, slots=1, language="klingon")

@@ -324,3 +324,58 @@ def test_failed_round_answers_clients_and_keeps_counters(
     status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
     assert status == 200
     assert json.loads(resp)["text"]
+
+
+def test_language_aliases_accepted_against_pin(http_server, jfk_flac_path):
+    """'English'/'EN' must NOT 400 against a server pinned to 'en' — the
+    batcher normalizes aliases; the HTTP layer must not raw-string-compare
+    them (the socket daemon already accepted these)."""
+    url, _ = http_server
+    with open(jfk_flac_path, "rb") as f:
+        data = f.read()
+    for alias in ("English", "EN", "en"):
+        body, ctype = _multipart({"language": alias}, data, "jfk.flac")
+        status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype)
+        assert status == 200, (alias, resp)
+        assert json.loads(resp)["text"]
+
+
+def test_max_uploads_env_validated(tpu_model, monkeypatch):
+    """WHISPER_TPU_HTTP_MAX_UPLOADS=0 would deadlock every POST on the
+    BoundedSemaphore; it and garbage values must fail loudly at startup."""
+    from whisper_tpu.http_server import TranscriptionHTTPServer
+
+    for bad in ("0", "-3", "four"):
+        monkeypatch.setenv("WHISPER_TPU_HTTP_MAX_UPLOADS", bad)
+        with pytest.raises(ValueError, match="WHISPER_TPU_HTTP_MAX_UPLOADS"):
+            TranscriptionHTTPServer(tpu_model, "127.0.0.1", 0, slots=1, language="en")
+
+    monkeypatch.setenv("WHISPER_TPU_HTTP_MAX_UPLOADS", "2")
+    srv = TranscriptionHTTPServer(tpu_model, "127.0.0.1", 0, slots=1, language="en")
+    srv._httpd.server_close()
+
+
+def test_post_after_drain_answers_503(tpu_model, jfk_flac_path):
+    """A do_POST that reaches the enqueue point after the shutdown drain must
+    answer 503 itself, not park forever on event.wait() (the drain is
+    one-shot). Simulates the race window by closing the queue flag while the
+    HTTP listener is still up."""
+    from whisper_tpu.http_server import TranscriptionHTTPServer
+
+    srv = TranscriptionHTTPServer(tpu_model, "127.0.0.1", 0, slots=1, language="en")
+    th = threading.Thread(target=srv._httpd.serve_forever, daemon=True)
+    th.start()
+    try:
+        with srv._queue_lock:
+            srv._queue_open = False
+        with open(jfk_flac_path, "rb") as f:
+            data = f.read()
+        body, ctype = _multipart({}, data, "jfk.flac")
+        url = f"http://{srv.host}:{srv.port}"
+        status, _, resp = _post(f"{url}/v1/audio/transcriptions", body, ctype, timeout=30)
+        assert status == 503
+        assert "shutting down" in json.loads(resp)["error"]["message"]
+        assert srv._requests.empty()  # nothing parked for a drain that already ran
+    finally:
+        srv._httpd.shutdown()
+        th.join(timeout=10)

@@ -86,6 +86,14 @@ class ContinuousBatcher:
         if slots < 1:
             raise ValueError("slots must be >= 1")
         decode_options.pop("verbose", None)  # signature compat (see batch.py)
+        if language is not None:
+            # normalize the pin the same way submit() normalizes requests
+            # ('English' -> 'en'), so pin comparisons are code-vs-code
+            from .tokenizer import LANGUAGES, TO_LANGUAGE_CODE
+
+            language = TO_LANGUAGE_CODE.get(language.lower(), language.lower())
+            if language not in LANGUAGES:
+                raise ValueError(f"unsupported language: {language!r}")
         if language is None and not model.is_multilingual:
             language = "en"  # English-only models have no language tokens
         # reuse the decode pass's cross-K/V in word-timestamp replay only

@@ -129,6 +129,12 @@ class TranscriptionHTTPServer:
         self._requests: "queue.Queue[_Pending]" = queue.Queue()
         self._pending_for_ticket = {}
         self._stop = threading.Event()
+        # handler threads enqueue under this lock while the flag is open;
+        # shutdown flips it under the same lock BEFORE draining, so no
+        # _Pending can land after the one-shot drain (it would park its
+        # handler thread on event.wait() forever)
+        self._queue_open = True
+        self._queue_lock = threading.Lock()
         # HTTP-level counters; batcher-level ones live in batcher.stats.
         # Bumped from concurrent handler threads -> lock (dict += is not
         # atomic across its read-modify-write bytecodes).
@@ -137,9 +143,19 @@ class TranscriptionHTTPServer:
         # bound concurrent upload buffering: each in-flight multipart parse
         # holds ~2-3x the body in RAM, and ThreadingHTTPServer spawns one
         # thread per connection with no limit of its own
-        self._upload_sem = threading.BoundedSemaphore(
-            int(os.environ.get("WHISPER_TPU_HTTP_MAX_UPLOADS", "4"))
-        )
+        max_uploads = os.environ.get("WHISPER_TPU_HTTP_MAX_UPLOADS", "4")
+        try:
+            max_uploads = int(max_uploads)
+        except ValueError:
+            raise ValueError(
+                f"WHISPER_TPU_HTTP_MAX_UPLOADS={max_uploads!r} is not an int"
+            )
+        if max_uploads < 1:
+            # 0 would deadlock every POST on the semaphore; negatives crash
+            raise ValueError(
+                f"WHISPER_TPU_HTTP_MAX_UPLOADS must be >= 1, got {max_uploads}"
+            )
+        self._upload_sem = threading.BoundedSemaphore(max_uploads)
 
         server = self
 
@@ -219,13 +235,12 @@ class TranscriptionHTTPServer:
                         del body
                         if not file_bytes:
                             raise ValueError("missing 'file' field")
+                        # language validation (alias normalization, pin
+                        # match) belongs to batcher.submit — its ValueError
+                        # comes back as a 400 from the worker thread. A raw
+                        # string compare here would 400 'English'/'EN'
+                        # against a pinned 'en' that submit() accepts.
                         lang = fields.get("language") or None
-                        if lang and server.language and lang != server.language:
-                            raise ValueError(
-                                f"server language is pinned to "
-                                f"{server.language!r} (per-request languages "
-                                "would change compiled shapes)"
-                            )
                         response_format = fields.get("response_format", "json")
                         if response_format not in ("json", "text", "verbose_json"):
                             raise ValueError(
@@ -246,7 +261,17 @@ class TranscriptionHTTPServer:
                     with os.fdopen(fd, "wb") as f:
                         f.write(file_bytes)
                 pending = _Pending(tmp_path, response_format, language=lang)
-                server._requests.put(pending)
+                with server._queue_lock:
+                    enqueued = server._queue_open
+                    if enqueued:
+                        server._requests.put(pending)
+                if not enqueued:  # shutdown drain already ran — answer here
+                    try:
+                        os.unlink(tmp_path)
+                    except OSError:
+                        pass
+                    self._send_error_openai(503, "server shutting down")
+                    return
                 pending.event.wait()
 
                 status, payload = pending.response
@@ -359,6 +384,11 @@ class TranscriptionHTTPServer:
                         self._pending_for_ticket.pop(t), 200, self.batcher.pop(t)
                     )
         self._httpd.shutdown()
+        # close the queue BEFORE draining: in-flight do_POST threads now
+        # answer 503 themselves instead of enqueueing after the drain (which
+        # would park them on event.wait() forever)
+        with self._queue_lock:
+            self._queue_open = False
         # resolve everything still in flight — handler threads wait on their
         # pending.event with no timeout, so abandoning them here would hang
         # every connected client until TCP timeout

@@ -53,6 +53,12 @@ class TranscriptionServer:
         self._conn_for_ticket: Dict[int, socket.socket] = {}
         self._stop = threading.Event()
         self._listener: Optional[socket.socket] = None
+        # reader threads enqueue under this lock while the flag is open;
+        # shutdown flips it under the same lock BEFORE draining, so no
+        # (conn, payload) can land after the one-shot drain (the client
+        # would block on its reply line forever)
+        self._queue_open = True
+        self._queue_lock = threading.Lock()
 
     # ------------------------------------------------------------------ IO
 
@@ -85,7 +91,12 @@ class TranscriptionServer:
         except Exception as e:  # malformed/slow request: answer and close here
             self._reply(conn, {"error": f"bad request: {e}"})
             return
-        self._requests.put((conn, payload))
+        with self._queue_lock:
+            enqueued = self._queue_open
+            if enqueued:
+                self._requests.put((conn, payload))
+        if not enqueued:  # shutdown drain already ran — answer here
+            self._reply(conn, {"error": "server shutting down"})
 
     @staticmethod
     def _reply(conn: socket.socket, obj: dict):
@@ -156,6 +167,11 @@ class TranscriptionServer:
                         self._conn_for_ticket.pop(ticket), self.batcher.pop(ticket)
                     )
         self._listener.close()
+        # close the queue BEFORE draining: in-flight reader threads now
+        # answer the shutdown error themselves instead of enqueueing after
+        # the drain (which would hang their clients)
+        with self._queue_lock:
+            self._queue_open = False
         # answer everything still in flight — clients block on their reply
         # line, so silently dropping them would hang each until its own
         # timeout

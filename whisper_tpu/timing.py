@@ -9,6 +9,15 @@ text-index jumps to word boundaries. The replay runs as one batched
 out_cross_head_weights path, decoder.py:306-313); DTW runs on the numpy
 anti-diagonal path by default with an on-device lax.scan variant available
 (ops/dtw.py).
+
+PROVENANCE: the compute path (device alignment replay, DTW, median filter)
+is original TPU code; the word-merge / anomaly-clamp heuristic half of this
+file (punctuation merging, median-duration clamps, pause-boundary snapping)
+is deliberately expressed close to the reference source
+(/root/reference/whisper/timing.py:234-377, itself openai/whisper, MIT
+license) because word-boundary placement is a golden-pinned parity contract
+(tests/test_transcribe.py word-timing assertions). Treat that range of the
+reference as the semantic spec for those helpers.
 """
 
 import os

@@ -12,6 +12,16 @@ Only the inner token loop and the model graphs run on the TPU; this
 window-level control flow is sequential, data-dependent, and cheap, so it
 stays in Python by design (SURVEY.md §7 "dynamic control flow at window
 level").
+
+PROVENANCE: the window-control heuristics in this file — the seek-advance
+rules, temperature-fallback gates, hallucination/silence skipping, and
+anomaly scoring — are deliberately expressed close to the reference source
+(/root/reference/whisper/transcribe.py:41-524, itself openai/whisper, MIT
+license) because they ARE the parity contract: segment boundaries and seek
+decisions must match token-for-token against the reference oracle
+(tests/test_transcribe.py pins multi-window, clip-window, and
+fallback-ladder behavior). Treat the reference file as the semantic spec
+for every branch here; divergences are documented in PARITY.md.
 """
 
 import warnings
