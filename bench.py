@@ -42,17 +42,6 @@ import os
 import sys
 import time
 
-# Hedge-worker stagger: this host exposes ONE CPU, so N workers importing
-# jax + building the model concurrently serialize (~13 s of host work each
-# became 65-220 s of pre-warmup at N=5). Sleeping (before the heavy imports)
-# lets worker 0 reach its device dispatch at ~13 s with the CPU to itself;
-# each later worker starts its lottery draw D seconds after the previous —
-# min-of-N across replicas is preserved, the CPU convoy is gone.
-if os.environ.get("BENCH_ROLE") == "worker":
-    _stagger = float(os.environ.get("BENCH_STAGGER_S", "0"))
-    if _stagger > 0:
-        time.sleep(_stagger)
-
 import numpy as np
 
 # canonical env so the XLA compilation-cache key matches the baked .jax_cache
@@ -116,14 +105,33 @@ def synth_audio(seconds: int, sr: int = 16000) -> np.ndarray:
 
 
 def main():
+    import threading
+
     model_name = os.environ.get("BENCH_MODEL", "turbo")
     dims = MODEL_DIMS[model_name]
     model = Whisper(dims, params=None, name=model_name, compute_dtype="bfloat16")
     engine = FusedEngine(model, weights=WEIGHTS)
     tok = get_tokenizer(True, language="en", task="transcribe")
 
-    audio = synth_audio(CLIP_SECONDS)
     n_windows = CLIP_SECONDS // 30
+
+    # Audio synthesis (scipy import + lfilter, ~2.4 s of host CPU) runs on a
+    # background thread started right before the decode warmup blocks on its
+    # first execution — the warmup wait is network-bound (server-side
+    # compile/queue), so on this 1-CPU host the synthesis rides the GIL-free
+    # gaps instead of sitting on the pre-warmup critical path. int16 upload:
+    # half the bytes of the pipeline's largest host->device transfer; the
+    # device converts as i/32768 (the s16 PCM semantic). Quantizing the
+    # synthetic waveform is part of the fixed workload.
+    audio_box = {}
+
+    def _synth():
+        audio = synth_audio(CLIP_SECONDS)
+        audio_box["padded"] = np.pad(
+            np.clip(audio * 32768.0, -32768, 32767).astype(np.int16), (0, 480000)
+        )
+
+    audio_thread = threading.Thread(target=_synth, daemon=True)
 
     initial_tokens = list(tok.sot_sequence)
     suppress_ids = [tok.eot]  # fixed-length workload: never finish early
@@ -142,20 +150,15 @@ def main():
         dims.n_mels, dims.n_audio_head, dims.n_text_head, n_windows
     )
 
-    # int16 upload: half the bytes of the pipeline's largest host->device
-    # transfer; the device converts as i/32768 (the s16 PCM semantic).
-    # Quantizing the synthetic waveform is part of the fixed workload.
-    audio_padded = np.pad(
-        np.clip(audio * 32768.0, -32768, 32767).astype(np.int16), (0, 480000)
-    )
-
     initial_batch = np.tile(
         np.array([initial_tokens], dtype=np.int32), (n_windows, 1)
     )
 
     def run_clip(trace=lambda m: None):
         ck, cv = frontend(
-            model.params["encoder"], model.params["decoder"], jnp.asarray(audio_padded)
+            model.params["encoder"],
+            model.params["decoder"],
+            jnp.asarray(audio_box["padded"]),
         )
         trace("frontend dispatched")
         out = engine.run(
@@ -209,14 +212,19 @@ def main():
     # frontend's outputs — so dispatch both first executions before blocking
     # on either and their server-side compilations overlap (the axon PJRT
     # service defers real compilation to the first execute; sum -> max).
+    # The frontend warms on a ZERO waveform: compilation keys on
+    # shapes/dtypes, not values, so the real audio (still synthesizing on
+    # the background thread) stays off the warmup critical path entirely.
     # Each phase is timed separately so a slow cold start is diagnosable
     # from the JSON alone (client compile vs server-side first-execute).
     t0 = time.perf_counter()
+    zero_audio = np.zeros(CLIP_SECONDS * 16000 + 480000, np.int16)
     fr = frontend(
-        model.params["encoder"], model.params["decoder"], jnp.asarray(audio_padded)
+        model.params["encoder"], model.params["decoder"], jnp.asarray(zero_audio)
     )
     t_frontend_dispatch = time.perf_counter() - t0
     log("frontend warmup dispatched")
+    audio_thread.start()  # overlaps the decode warmup's network-bound waits
     engine.warmup(
         initial_batch,
         sot_index=0,
@@ -238,6 +246,7 @@ def main():
     log("decode warmup done")
     jax.device_get(jax.tree.leaves(fr)[0][0, 0, 0, :1])  # sync frontend
     t_frontend_ready = time.perf_counter() - t0
+    audio_thread.join()  # typically long done by now
     total_tokens = run_clip(trace=log)  # end-to-end warm pass (all compiled)
     warm = time.perf_counter() - t0
     warmup_breakdown = {
@@ -302,21 +311,21 @@ def main_hedged(n_workers: int):
     import signal
     import subprocess
     import tempfile
+    import threading
 
     t0 = time.perf_counter()
     tmpdir = tempfile.mkdtemp(prefix="bench_hedge_")
-    workers = []
-    for i in range(n_workers):
+    workers = []  # grows as the spawner thread launches; guarded by w_lock
+    w_lock = threading.Lock()
+    winner_found = threading.Event()
+    stagger_s = float(os.environ.get("BENCH_WORKER_STAGGER_S", "8"))
+
+    def spawn_one(i):
         out_path = os.path.join(tmpdir, f"worker{i}.jsonl")
         env = dict(os.environ)
         env["BENCH_ROLE"] = "worker"
         env["BENCH_WORKER_OUT"] = out_path
         env["BENCH_GO_FILE"] = os.path.join(tmpdir, f"worker{i}.go")
-        # stagger worker starts (default 8 s apart) so their host-side
-        # import/build/trace work doesn't convoy on this 1-CPU machine
-        env["BENCH_STAGGER_S"] = repr(
-            i * float(os.environ.get("BENCH_WORKER_STAGGER_S", "8"))
-        )
         env["BENCH_SPAWN_TS"] = repr(time.time())
         p = subprocess.Popen(
             [sys.executable, os.path.abspath(__file__)],
@@ -324,7 +333,33 @@ def main_hedged(n_workers: int):
             stdout=subprocess.DEVNULL,
             stderr=None if os.environ.get("BENCH_VERBOSE") else subprocess.DEVNULL,
         )
-        workers.append((p, out_path))
+        with w_lock:
+            workers.append((p, out_path))
+
+    spawner_done = threading.Event()
+
+    def spawner():
+        # Stagger the SPAWNS (not in-worker sleeps): interpreter startup
+        # alone costs ~2 s of CPU per worker (sitecustomize imports jax +
+        # the PJRT plugin before any user code runs), so N simultaneous
+        # spawns convoy worker 0's pre-warmup on this 1-CPU host — this was
+        # the bulk of the measured 13.7 s pre_warmup at N=5. Launching
+        # workers 8 s apart keeps worker 0's host work uncontended, and
+        # once ANY worker is ready the remaining spawns are skipped — their
+        # lottery draws could no longer win, only load the shared service.
+        try:
+            for i in range(1, n_workers):
+                if winner_found.wait(timeout=stagger_s):
+                    return
+                spawn_one(i)
+        finally:
+            spawner_done.set()
+
+    spawn_one(0)
+    if n_workers > 1:
+        threading.Thread(target=spawner, daemon=True).start()
+    else:
+        spawner_done.set()
 
     def lines(path):
         try:
@@ -338,14 +373,21 @@ def main_hedged(n_workers: int):
     warmup_s = None
     while winner is None:
         time.sleep(0.5)
-        for i, (p, path) in enumerate(workers):
+        with w_lock:
+            snapshot = list(workers)
+        for i, (p, path) in enumerate(snapshot):
             ls = lines(path)
             if ls and ls[0].startswith("READY"):
                 winner = i
                 warmup_s = time.perf_counter() - t0
+                winner_found.set()
                 break
-            if p.poll() is not None and not ls:
-                raise RuntimeError(f"bench worker {i} died before warmup")
+        if (
+            winner is None
+            and spawner_done.is_set()
+            and all(p.poll() is not None for p, _ in snapshot)
+        ):
+            raise RuntimeError("every bench worker died before warmup")
 
     # Terminate the losers BEFORE the winner runs its timed trials: their
     # in-flight multi-minute server-side compiles load the shared service
@@ -353,8 +395,11 @@ def main_hedged(n_workers: int):
     # measured 43 ms on a quiet service vs 136 ms under load). The winner
     # blocks on its GO file after READY, so the trials only start once the
     # losers are gone and the service has had a moment to settle.
+    spawner_done.wait(timeout=10)  # a spawn may be in flight; don't miss it
+    with w_lock:
+        snapshot = list(workers)
     worker_warmups = []
-    for i, (p, path) in enumerate(workers):
+    for i, (p, path) in enumerate(snapshot):
         ls = lines(path)
         worker_warmups.append(float(ls[0].split()[1]) if ls else None)
         if i != winner and p.poll() is None:
@@ -373,6 +418,7 @@ def main_hedged(n_workers: int):
     result["warmup_s"] = round(warmup_s, 1)
     result["hedge"] = {
         "workers": n_workers,
+        "spawned": len(snapshot),  # later spawns are skipped once one wins
         "winner": winner,
         "worker_warmup_s": worker_warmups,
     }
