@@ -278,3 +278,48 @@ def test_pinned_language_normalizes_like_requests(tpu_model):
         cb.submit(np.zeros(16000, np.float32), language="fr")
     with pytest.raises(ValueError):
         ContinuousBatcher(tpu_model, slots=1, language="klingon")
+
+
+def test_device_mel_round_windows_bucketed():
+    """The bucketed round-window builder (one program per mel-length bucket)
+    must produce exactly the per-slot device_mel_window results: mixed-length
+    streams, mid-stream seeks, tail masking, and idle slots as zero rows."""
+    import jax.numpy as jnp
+
+    from whisper_tpu.audio import N_FRAMES
+    from whisper_tpu.ops.stft import (
+        device_mel_full,
+        device_mel_round_windows,
+        device_mel_window,
+    )
+
+    rng = np.random.RandomState(7)
+    # three length buckets: 11 s, 45 s, 70 s -> F = 3000, 6000, 9000 frames
+    secs = [11, 45, 70, 11]
+    mels, frames = [], []
+    for i, sec in enumerate(secs):
+        m, cf = device_mel_full(rng.randn(sec * 16000).astype(np.float32) * 0.1, 80)
+        mels.append(m)
+        frames.append(cf)
+
+    slots = 6
+    slot_mels = [mels[0], None, mels[1], mels[2], mels[3], None]
+    content = {0: frames[0], 2: frames[1], 3: frames[2], 4: frames[3]}
+    seeks = [0, 0, 3000, 6000, 500, 0]
+    sizes = [
+        min(N_FRAMES, content[i] - seeks[i]) if i in content else 0
+        for i in range(slots)
+    ]
+
+    got = np.asarray(
+        device_mel_round_windows(slot_mels, seeks, sizes, 80), np.float32
+    )
+    assert got.shape == (slots, 80, N_FRAMES)
+    for i in range(slots):
+        if slot_mels[i] is None:
+            assert np.all(got[i] == 0.0)
+        else:
+            want = np.asarray(
+                device_mel_window(slot_mels[i], seeks[i], sizes[i]), np.float32
+            )
+            np.testing.assert_array_equal(got[i], want)

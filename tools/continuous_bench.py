@@ -66,34 +66,46 @@ def main():
     cb.drain()
     warm_s = time.perf_counter() - t_w
 
-    # submit everything up front; admission happens as slots free per round
-    t_submit = time.perf_counter()
-    tickets = [cb.submit(a) for a in audios]
-    done_at = {}
-    t0 = time.perf_counter()
-    rounds = 0
-    while cb.step():
-        rounds += 1
-        now = time.perf_counter() - t0
+    def run_pass():
+        """Submit the full request set and drain it; returns timing stats."""
+        t_submit = time.perf_counter()
+        tickets = [cb.submit(a) for a in audios]
+        done_at = {}
+        t0 = time.perf_counter()
+        rounds = 0
+        while cb.step():
+            rounds += 1
+            now = time.perf_counter() - t0
+            for t in tickets:
+                if cb.ready(t) and t not in done_at:
+                    done_at[t] = now
+        makespan = time.perf_counter() - t0
         for t in tickets:
-            if cb.ready(t) and t not in done_at:
-                done_at[t] = now
-    makespan = time.perf_counter() - t0
-    total_audio = sum(lengths_s)
-    lats = sorted(done_at.values())
+            cb.pop(t)
+        lats = sorted(done_at.values())
+        return dict(
+            rounds=rounds,
+            makespan_s=round(makespan, 3),
+            aggregate_rtfx=round(sum(lengths_s) / max(makespan, 1e-9), 1),
+            latency_mean_s=round(float(np.mean(lats)), 3),
+            latency_p95_s=round(float(np.percentile(lats, 95)), 3),
+            submit_overhead_s=round(t0 - t_submit, 3),
+        )
+
+    # two measured passes: the first may still absorb server-side compiles
+    # of this run's program shapes on a cold service replica; the second is
+    # the honest scheduler number (everything resident)
+    first = run_pass()
+    warm = run_pass()
     print(
         json.dumps(
             {
                 "model": model_name,
                 "slots": slots,
                 "requests": n_req,
-                "audio_seconds": total_audio,
-                "rounds": rounds,
-                "makespan_s": round(makespan, 3),
-                "aggregate_rtfx": round(total_audio / max(makespan, 1e-9), 1),
-                "latency_mean_s": round(float(np.mean(lats)), 3),
-                "latency_p95_s": round(float(np.percentile(lats, 95)), 3),
-                "submit_overhead_s": round(t0 - t_submit, 3),
+                "audio_seconds": sum(lengths_s),
+                **first,
+                "warm_pass": warm,
                 "warmup_s": round(warm_s, 1),
             }
         ),

@@ -271,25 +271,25 @@ class ContinuousBatcher:
 
         prompts: List[List[int]] = [[] for _ in range(self.slots)]
         if self._device_mel:
-            import jax.numpy as jnp
+            from .ops.stft import device_mel_round_windows
 
-            from .ops.stft import device_mel_window
-
-            if self._zero_window is None:
-                self._zero_window = jnp.zeros(
-                    (self.model.dims.n_mels, N_FRAMES), jnp.float32
-                )
-            rows = []
+            # whole round's window stack in <= #mel-length-buckets (+1)
+            # device programs — one dispatch per BUCKET, not per slot
+            slot_mels: List = [None] * self.slots
+            seeks = [0] * self.slots
+            sizes = [0] * self.slots
             for i, ticket in enumerate(self._slot_ticket):
                 if ticket is None:
-                    rows.append(self._zero_window)
                     continue
                 s = self._streams[ticket]
-                size = min(N_FRAMES, s.content_frames - s.seek)
-                rows.append(device_mel_window(s.device_mel, s.seek, size))
+                slot_mels[i] = s.device_mel
+                seeks[i] = s.seek
+                sizes[i] = min(N_FRAMES, s.content_frames - s.seek)
                 if self.condition_on_previous_text:
                     prompts[i] = s.all_tokens[s.prompt_reset_since :]
-            mels = jnp.stack(rows)
+            mels = device_mel_round_windows(
+                slot_mels, seeks, sizes, self.model.dims.n_mels
+            )
         else:
             mels = np.zeros(
                 (self.slots, self.model.dims.n_mels, N_FRAMES), np.float32

@@ -184,3 +184,95 @@ def device_mel_window(mel, seek: int, segment_size: int):
     import jax.numpy as jnp
 
     return _WINDOW_JIT(mel, jnp.int32(seek), jnp.int32(segment_size))
+
+
+# ---- batched round windows for the continuous batcher -----------------------
+
+_WINDOW_BATCH_JITS = {}
+_ZERO_MELS = {}
+
+
+def _zero_mel(n_mels: int, frames: int):
+    """Cached device zeros standing in for idle/other-bucket slots inside a
+    bucket's window program (a zero mel slices to a zero window)."""
+    key = (n_mels, frames)
+    if key not in _ZERO_MELS:
+        import jax.numpy as jnp
+
+        _ZERO_MELS[key] = jnp.zeros((n_mels, frames), jnp.float32)
+    return _ZERO_MELS[key]
+
+
+def _window_batch_jit(slots: int, n_mels: int, frames: int):
+    """One program slicing EVERY slot's window for one mel-length bucket:
+    `slots` dynamic_slices + tail masks, stacked to (slots, n_mels, 3000).
+    Keys on (slots, bucket length) — a handful of compiles ever, vs one
+    dispatch per occupied slot per round (16 dispatches/round at slots=16,
+    the r3 known-minor this replaces)."""
+    key = (slots, n_mels, frames)
+    if key not in _WINDOW_BATCH_JITS:
+        import jax
+        import jax.numpy as jnp
+
+        n_frames = _CHUNK_SAMPLES // HOP_LENGTH
+
+        def _wins(mels, seeks, sizes):
+            cols = jnp.arange(n_frames)[None, :]
+            rows = []
+            for i, mel in enumerate(mels):
+                win = jax.lax.dynamic_slice(
+                    mel, (0, seeks[i]), (mel.shape[0], n_frames)
+                )
+                rows.append(jnp.where(cols < sizes[i], win, 0.0))
+            return jnp.stack(rows)
+
+        _WINDOW_BATCH_JITS[key] = jax.jit(_wins)
+    return _WINDOW_BATCH_JITS[key]
+
+
+def device_mel_round_windows(slot_mels, seeks, sizes, n_mels: int):
+    """Build one lockstep round's (slots, n_mels, N_FRAMES) window stack from
+    per-slot device mels in <= (#length-buckets) + (#buckets - 1) device
+    programs. `slot_mels[i]` is the slot's full device mel (n_mels, F_i) or
+    None when the slot is idle; idle slots come back as zero windows (the
+    semantics the decode path already expects for padding slots).
+
+    Slots sharing a mel-length bucket ride ONE program (zero mels fill the
+    other positions — sliced+masked they contribute exact zeros), and
+    multi-bucket rounds combine by addition since every program zeroes the
+    slots outside its bucket."""
+    import jax.numpy as jnp
+
+    slots = len(slot_mels)
+    n_frames = _CHUNK_SAMPLES // HOP_LENGTH
+    buckets = {}
+    for i, mel in enumerate(slot_mels):
+        if mel is not None:
+            buckets.setdefault(int(mel.shape[-1]), []).append(i)
+    if not buckets:
+        return jnp.zeros((slots, n_mels, n_frames), jnp.float32)
+
+    outs = []
+    for frames, members in sorted(buckets.items()):
+        member_set = set(members)
+        mels, bseeks, bsizes = [], [], []
+        for i in range(slots):
+            if i in member_set:
+                mels.append(slot_mels[i])
+                bseeks.append(seeks[i])
+                bsizes.append(sizes[i])
+            else:
+                mels.append(_zero_mel(n_mels, frames))
+                bseeks.append(0)
+                bsizes.append(0)
+        outs.append(
+            _window_batch_jit(slots, n_mels, frames)(
+                tuple(mels),
+                jnp.asarray(bseeks, jnp.int32),
+                jnp.asarray(bsizes, jnp.int32),
+            )
+        )
+    total = outs[0]
+    for o in outs[1:]:
+        total = total + o
+    return total
