@@ -45,3 +45,67 @@ def test_streaming_requires_language(tpu_model):
         pytest.skip("monolingual defaults to en")
     with pytest.raises(ValueError, match="language"):
         StreamingTranscriber(tpu_model)
+
+
+def test_streaming_partials_before_first_window(tpu_model, jfk_audio):
+    """partial_hop_s: advisory text arrives long before the first 30 s
+    window completes, flagged partial=True, and the FINAL output stays
+    bit-identical to transcribe() on the concatenated audio — partial
+    decodes never touch stream state."""
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    ref = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None
+    )
+
+    st = StreamingTranscriber(
+        tpu_model, language="en", temperature=0.0, partial_hop_s=2.0
+    )
+    finals, partials = [], []
+    saw_partial_before_first_final = False
+    step = 2 * 16000
+    for i in range(0, len(long_audio), step):
+        for seg in st.feed(long_audio[i : i + step]):
+            if seg.get("partial"):
+                partials.append(seg)
+                if not finals:
+                    saw_partial_before_first_final = True
+            else:
+                finals.append(seg)
+    finals.extend(st.flush())
+
+    assert partials, "no partial segments emitted"
+    assert saw_partial_before_first_final, (
+        "partials must arrive before the first window finalizes"
+    )
+    assert all(p["text"].strip() for p in partials)
+    # finals == batch transcribe, exactly as without partials
+    assert st.result["text"] == ref["text"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+    for a, b in zip(finals, ref["segments"]):
+        assert abs(a["start"] - b["start"]) < 1e-6
+        assert abs(a["end"] - b["end"]) < 1e-6
+    # partials are advisory only: none were folded into the result
+    assert all(not s.get("partial") for s in st.result["segments"])
+
+
+def test_streaming_partial_on_demand(tpu_model, jfk_audio):
+    """partial() decodes the open window immediately and is read-only on
+    the stream (same finals afterwards)."""
+    st = StreamingTranscriber(tpu_model, language="en", temperature=0.0)
+    st.feed(jfk_audio[: 5 * 16000])  # 5 s — nowhere near a full window
+    p1 = st.partial()
+    p2 = st.partial()  # idempotent: state unchanged between calls
+    assert [s["tokens"] for s in p1] == [s["tokens"] for s in p2]
+    assert all(s["partial"] for s in p1)
+    st.feed(jfk_audio[5 * 16000 :])
+    finals = st.flush()
+    ref = tpu_model.transcribe(
+        jfk_audio, language="en", temperature=0.0, verbose=None
+    )
+    assert st.result["text"] == ref["text"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+
+
+def test_streaming_partial_hop_validation(tpu_model):
+    with pytest.raises(ValueError, match="partial_hop_s"):
+        StreamingTranscriber(tpu_model, language="en", partial_hop_s=0.0)

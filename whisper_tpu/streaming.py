@@ -19,6 +19,15 @@ the batch path, so a stream fed in chunks produces the same segments as
 `transcribe()` on the concatenated audio (pinned in tests for the supported
 option subset: no clip_timestamps / word timestamps / hallucination
 heuristics — use transcribe() for those).
+
+Low-latency PARTIAL results: pass `partial_hop_s` (e.g. 1.0) and feed()
+additionally emits advisory segments for the still-open window — the
+available audio is padded to a full 30 s window and decoded NOW, without
+waiting for the window to fill. Partials carry `"partial": True`, are
+superseded by every later emission for the same region, and never touch the
+stream's state (seek, prompt tokens, finalized segments), so the FINAL
+output remains bit-identical to `transcribe()` on the concatenated audio.
+`partial()` runs one such decode on demand.
 """
 
 from typing import List, Optional
@@ -53,6 +62,7 @@ class StreamingTranscriber:
         logprob_threshold: Optional[float] = -1.0,
         no_speech_threshold: Optional[float] = 0.6,
         condition_on_previous_text: bool = True,
+        partial_hop_s: Optional[float] = None,
         verbose: Optional[bool] = None,  # transcribe() signature compat;
         # streaming emits segments via feed()/flush(), not a live log
         **decode_options,
@@ -90,6 +100,10 @@ class StreamingTranscriber:
         self._input_stride = exact_div(N_FRAMES, model.dims.n_audio_ctx)
         self._time_precision = self._input_stride * HOP_LENGTH / SAMPLE_RATE
         self._flushed = False
+        if partial_hop_s is not None and partial_hop_s <= 0:
+            raise ValueError("partial_hop_s must be positive (or None)")
+        self.partial_hop_s = partial_hop_s
+        self._last_partial_frames = 0  # content frames at the last partial
 
     # -- internals ---------------------------------------------------------
 
@@ -211,12 +225,77 @@ class StreamingTranscriber:
     # -- public API ----------------------------------------------------------
 
     def feed(self, audio: np.ndarray) -> List[dict]:
-        """Append PCM (float32 mono @ 16 kHz); returns newly final segments."""
+        """Append PCM (float32 mono @ 16 kHz); returns newly final segments.
+
+        With `partial_hop_s` set, the returned list additionally carries
+        advisory segments (flagged `"partial": True`) for the still-open
+        window whenever at least that much new audio accumulated since the
+        last partial decode. Partials never alter the stream's state; every
+        final segment is identical to the partial-free run."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         self._audio = np.concatenate([self._audio, audio])
-        return self._process(final=False)
+        out = self._process(final=False)
+        if self.partial_hop_s is not None:
+            content_frames = len(self._audio) // HOP_LENGTH
+            hop_frames = int(self.partial_hop_s * SAMPLE_RATE) // HOP_LENGTH
+            if (
+                content_frames - self._seek > 0
+                and content_frames - self._last_partial_frames >= hop_frames
+            ):
+                out.extend(self.partial())
+        return out
+
+    def partial(self) -> List[dict]:
+        """Decode the still-open window RIGHT NOW (padded to a full 30 s
+        window) and return advisory segments flagged `"partial": True`.
+        Read-only on the stream: seek, prompt conditioning, and the
+        finalized transcript are untouched, so later finals supersede these
+        without ever differing from a batch `transcribe()`."""
+        if self._flushed:
+            return []
+        content_frames = len(self._audio) // HOP_LENGTH
+        avail = content_frames - self._seek
+        if avail <= 0:
+            return []
+        self._last_partial_frames = content_frames
+        mel_full = np.asarray(
+            log_mel_spectrogram(
+                self._audio, self.model.dims.n_mels, padding=N_SAMPLES
+            )
+        )
+        segment_size = min(N_FRAMES, avail)
+        mel_window = pad_or_trim(
+            mel_full[:, self._seek : self._seek + segment_size], N_FRAMES
+        )
+        result = self._decode_window(mel_window.astype(np.float32))
+        if (
+            self.no_speech_threshold is not None
+            and result.no_speech_prob > self.no_speech_threshold
+            and not (
+                self.logprob_threshold is not None
+                and result.avg_logprob > self.logprob_threshold
+            )
+        ):
+            return []
+        segments, _, _ = segments_from_tokens(
+            tokens=np.array(result.tokens),
+            tokenizer=self.tokenizer,
+            result=result,
+            seek=self._seek,  # local copy inside; self._seek is NOT advanced
+            segment_size=segment_size,
+            time_offset=float(self._seek * HOP_LENGTH / SAMPLE_RATE),
+            time_precision=self._time_precision,
+            input_stride=self._input_stride,
+            make_segment=segment_builder(self.tokenizer, self._seek),
+        )
+        out = []
+        for i, seg in enumerate(segments, start=len(self._segments)):
+            if seg["start"] == seg["end"] or seg["text"].strip() == "":
+                continue
+            out.append({"id": i, **seg, "partial": True})
+        return out
 
     def flush(self) -> List[dict]:
         """Decode the remaining partial window and end the stream."""
