@@ -71,3 +71,49 @@ def test_librispeech_layout_end_to_end(tpu_model, synth_checkpoint, tmp_path):
     )
     assert out.returncode == 0, out.stderr
     assert "overall WER: 0.0000" in out.stdout, out.stdout
+
+
+@pytest.mark.slow
+def test_validate_real_spec_acceptance_section(tpu_model, synth_checkpoint, monkeypatch):
+    """The validate_real.py speculative-acceptance section runs end to end
+    on a synthetic checkpoint (model doubles as its own draft): acceptance
+    rates land in [0, 1], both K brackets report, and the plain baseline is
+    timed — so the harness is proven live before real weights ever arrive."""
+    import validate_real
+
+    monkeypatch.setattr(validate_real, "cached", lambda name: True)
+    out = validate_real.run_spec_acceptance(synth_checkpoint, synth_checkpoint)
+    assert out["status"] == "ok", out
+    for k in ("k4", "k8"):
+        assert out[k]["seconds"] > 0
+        assert out[k]["speedup_vs_plain"] > 0
+        assert all(0.0 <= a <= 1.0 for a in out[k]["acceptance"])
+        assert all(r >= 1 for r in out[k]["rounds"])
+    assert out["plain_seconds"] > 0
+
+
+def test_validate_real_offline_skips(monkeypatch, tmp_path):
+    """Offline, every validate_real section reports a clean skip and the
+    command exits 0 (the report is always written)."""
+    out_path = tmp_path / "report.json"
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(TOOLS, "validate_real.py"),
+            "--out",
+            str(out_path),
+        ],
+        capture_output=True,
+        text=True,
+        env=env,
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr
+    import json
+
+    report = json.loads(out_path.read_text())
+    for section in (
+        "e2e_tests", "wer", "longform", "int8_wer_delta", "speculative_acceptance",
+    ):  # fmt: skip
+        assert report[section]["status"] == "skipped", (section, report[section])

@@ -67,7 +67,18 @@ def main():
         "the fallback ladder for deterministic runs); default: the "
         "standard 0..1.0 ladder",
     )
+    ap.add_argument(
+        "--weights",
+        default="",
+        choices=["", "int8"],
+        help="decode-weight mode ('int8' = weight-only quantized serving "
+        "mode; used by validate_real.py to measure the bf16-vs-int8 WER "
+        "delta)",
+    )
     args = ap.parse_args()
+    if args.weights:
+        # same plumbing as the CLI's --weights flag: the engines read it
+        os.environ["WHISPER_TPU_WEIGHTS"] = args.weights
 
     transcribe_kw = {}
     if args.temperature is not None:

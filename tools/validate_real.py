@@ -100,6 +100,127 @@ def run_wer(librispeech: str, model: str, limit: int) -> dict:
     }
 
 
+def run_wer_int8_delta(librispeech: str, model: str, limit: int) -> dict:
+    """bf16 vs int8 WER on the same utterances: the accuracy evidence behind
+    the int8 serving mode's "near-lossless" claim (VERDICT r3 weak #7).
+    Methodology mirrors /root/reference/notebooks/LibriSpeech.ipynb (greedy
+    t=0 so the delta is the quantization's, not the sampler's)."""
+    if not librispeech or not os.path.isdir(librispeech):
+        return {
+            "status": "skipped",
+            "reason": "no LibriSpeech path (see data/README.md)",
+        }
+
+    def one(weights: str):
+        cmd = [
+            sys.executable, os.path.join(os.path.dirname(__file__), "eval_wer.py"),
+            "--librispeech", librispeech, "--model", model,
+            "--limit", str(limit), "--temperature", "0",
+        ]  # fmt: skip
+        if weights:
+            cmd += ["--weights", weights]
+        proc = subprocess.run(cmd, capture_output=True, text=True)
+        if proc.returncode != 0:
+            return None
+        for line in reversed((proc.stdout or "").splitlines()):
+            if line.startswith("overall WER:"):
+                return float(line.split()[2])
+        return None
+
+    bf16 = one("")
+    int8 = one("int8")
+    if bf16 is None or int8 is None:
+        return {"status": "failed", "bf16_wer": bf16, "int8_wer": int8}
+    return {
+        "status": "ok",
+        "bf16_wer": bf16,
+        "int8_wer": int8,
+        "delta": round(int8 - bf16, 5),
+    }
+
+
+def run_spec_acceptance(model_name: str, draft_path: str) -> dict:
+    """Real draft-acceptance measurement (VERDICT r3 weak #7): run the
+    speculative engine over real-audio windows with a trained draft
+    (whisper-tpu-distill checkpoint) and report SpeculativeEngine.last_stats
+    acceptance rates plus the realized wall-clock speedup vs plain fused
+    greedy on the same windows. Translates the structural accept==1
+    brackets (1.55x K=4 / 1.88x K=8, TODO.md) into measured numbers."""
+    if not cached(model_name):
+        return {"status": "skipped", "reason": f"{model_name} not cached"}
+    if not draft_path:
+        return {
+            "status": "skipped",
+            "reason": "no --draft checkpoint (train one: whisper-tpu-distill)",
+        }
+    if not os.path.exists(draft_path):
+        return {"status": "skipped", "reason": f"{draft_path} not found"}
+    import numpy as np
+
+    import whisper_tpu
+    from whisper_tpu.audio import N_FRAMES, log_mel_spectrogram, pad_or_trim
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.speculative import SpeculativeEngine
+    from whisper_tpu.tokenizer import get_tokenizer
+
+    model = whisper_tpu.load_model(model_name)
+    draft = whisper_tpu.load_model(draft_path)
+    tok = get_tokenizer(
+        model.is_multilingual, num_languages=model.num_languages,
+        language="en", task="transcribe",
+    )  # fmt: skip
+
+    audio = whisper_tpu.load_audio(JFK)
+    long_audio = np.concatenate([audio] * 6)  # 66 s -> 3 windows
+    mel = np.asarray(log_mel_spectrogram(long_audio, model.dims.n_mels))
+    windows = np.stack(
+        [
+            pad_or_trim(mel[:, s : s + N_FRAMES], N_FRAMES)
+            for s in range(0, mel.shape[-1], N_FRAMES)
+        ]
+    ).astype(np.float32)
+
+    ck, cv = model.cross_kv(model.encode(windows))
+    dck, dcv = draft.cross_kv(draft.encode(windows))
+    A = windows.shape[0]
+    initial = np.tile(np.array([list(tok.sot_sequence)], np.int32), (A, 1))
+    kwargs = dict(
+        sot_index=0, suppress_ids=list(tok.non_speech_tokens),
+        blank_ids=tok.encode(" ") + [tok.eot], max_initial_ts_index=50,
+        sample_len=224, use_timestamps=True, temperature=0.0, eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin, no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+    )  # fmt: skip
+
+    out = {}
+    for k in (4, 8):
+        eng = SpeculativeEngine(model, draft, k=k)
+        eng.run(initial, ck, cv, dck, dcv, **kwargs)  # warm (compile)
+        t0 = time.time()
+        eng.run(initial, ck, cv, dck, dcv, **kwargs)
+        spec_s = time.time() - t0
+        out[f"k{k}"] = {
+            "acceptance": eng.last_stats["draft_acceptance"],
+            "rounds": eng.last_stats["rounds"],
+            "seconds": round(spec_s, 3),
+        }
+
+    plain = FusedEngine(model)
+    plain.run(initial, ck, cv, n_group=1, beam_search=False, max_candidates=1,
+              **kwargs)  # fmt: skip
+    t0 = time.time()
+    plain.run(initial, ck, cv, n_group=1, beam_search=False, max_candidates=1,
+              **kwargs)  # fmt: skip
+    plain_s = time.time() - t0
+    for k in (4, 8):
+        out[f"k{k}"]["speedup_vs_plain"] = round(
+            plain_s / max(out[f"k{k}"]["seconds"], 1e-9), 3
+        )
+    out["plain_seconds"] = round(plain_s, 3)
+    out["status"] = "ok"
+    return out
+
+
 def run_longform(model_name: str) -> dict:
     """Long-form structural check on ~3.5 min of repeated jfk audio."""
     if not cached(model_name):
@@ -136,6 +257,12 @@ def main():
     ap.add_argument("--models", default="tiny.en,turbo")
     ap.add_argument("--librispeech", default=os.environ.get("LIBRISPEECH_DIR", ""))
     ap.add_argument("--limit", type=int, default=100)
+    ap.add_argument(
+        "--draft",
+        default=os.environ.get("WHISPER_TPU_DRAFT", ""),
+        help="distilled draft checkpoint (whisper-tpu-distill output) for "
+        "the speculative acceptance measurement",
+    )
     ap.add_argument("--out", default="validate_real_report.json")
     args = ap.parse_args()
 
@@ -158,13 +285,25 @@ def main():
         else {"status": "skipped", "reason": "no checkpoints available"}
     )
     report["longform"] = run_longform(models[0])
+    report["int8_wer_delta"] = (
+        run_wer_int8_delta(args.librispeech, models[0], args.limit)
+        if any_weights
+        else {"status": "skipped", "reason": "no checkpoints available"}
+    )
+    report["speculative_acceptance"] = run_spec_acceptance(models[0], args.draft)
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
     print(json.dumps(report, indent=2))
     ok = all(
         sec.get("status") in ("ok", "passed", "skipped", "cached", "downloaded")
-        for sec in [report["e2e_tests"], report["wer"], report["longform"]]
+        for sec in [
+            report["e2e_tests"],
+            report["wer"],
+            report["longform"],
+            report["int8_wer_delta"],
+            report["speculative_acceptance"],
+        ]
         + list(report["checkpoints"].values())
     )
     sys.exit(0 if ok else 1)
