@@ -60,27 +60,9 @@ def _stream_result(model, s: "_Stream", language: str, task: str) -> dict:
     )
 
 
-def _needs_fallback(
-    r: DecodingResult,
-    compression_ratio_threshold,
-    logprob_threshold,
-    no_speech_threshold,
-) -> bool:
-    """The reference's temperature-ladder retry gates
-    (transcribe.py:206-223): retry on compression-ratio or logprob failure
-    unless the window is confidently silent."""
-    needs = (
-        compression_ratio_threshold is not None
-        and r.compression_ratio > compression_ratio_threshold
-    ) or (logprob_threshold is not None and r.avg_logprob < logprob_threshold)
-    if (
-        no_speech_threshold is not None
-        and r.no_speech_prob > no_speech_threshold
-        and logprob_threshold is not None
-        and r.avg_logprob < logprob_threshold
-    ):
-        needs = False
-    return needs
+# the temperature-ladder retry gates are transcribe()'s; one definition
+# serves the sequential, batch, and continuous paths
+from .transcribe import _quality_gates_failed as _needs_fallback  # noqa: E402
 
 
 def _decode_window_batch(

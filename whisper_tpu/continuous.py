@@ -132,19 +132,17 @@ class ContinuousBatcher:
         # DEVICE (one int16 upload + one program, ~ms) instead of the host
         # numpy mel (~0.9 s per minute of audio — measured dominating the
         # serving bench's submit path); per-round windows are then device
-        # slices stacked on device. WHISPER_TPU_DEVICE_MEL=0/1 overrides.
+        # slices. WHISPER_TPU_DEVICE_MEL=0/1 overrides.
         #
-        # Each round dispatches one window-slice program PER ACTIVE SLOT
-        # (streams' mels have different bucketed lengths, so they can't ride
-        # one vmapped program). This is deliberate: the slice program
-        # compiles once per mel-length BUCKET (a handful, ever), whereas any
-        # batched formulation keys on the round's (count, lengths) pattern —
-        # on a deferred-compile remote service every new program shape costs
-        # a server-side compile (seconds to minutes), while the per-slot
-        # dispatches are ~ms and pipeline behind the decode. The measured
-        # serving numbers (tools/continuous_bench.py) include this cost.
+        # A round builds its whole (slots, n_mels, 3000) window stack in ONE
+        # program per mel-LENGTH bucket (ops/stft.device_mel_round_windows):
+        # slots sharing a bucket ride one jitted slice program with cached
+        # zero mels filling the other positions, so a slots=16 round issues
+        # 1-3 dispatches instead of 16 (on-chip A/B at slots=16 mixed
+        # 30/60 s: 34 vs 55 ms p50 for the round build). Program keys on
+        # (slots, bucket length) — still a handful of compiles ever, which
+        # is what a deferred-compile remote service needs.
         self._device_mel = _use_device_mel()
-        self._zero_window = None  # cached (n_mels, N_FRAMES) device zeros
 
         self._queue: deque = deque()  # tickets waiting for a slot
         self._slot_ticket: List[Optional[int]] = [None] * slots

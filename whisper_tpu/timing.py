@@ -11,13 +11,13 @@ anti-diagonal path by default with an on-device lax.scan variant available
 (ops/dtw.py).
 
 PROVENANCE: the compute path (device alignment replay, DTW, median filter)
-is original TPU code; the word-merge / anomaly-clamp heuristic half of this
-file (punctuation merging, median-duration clamps, pause-boundary snapping)
-is deliberately expressed close to the reference source
+is original TPU code. The word-merge / duration-clamp heuristics
+(punctuation merging, median-duration caps, pause-boundary snapping) are
+this repo's own expression of the reference's semantics
 (/root/reference/whisper/timing.py:234-377, itself openai/whisper, MIT
-license) because word-boundary placement is a golden-pinned parity contract
-(tests/test_transcribe.py word-timing assertions). Treat that range of the
-reference as the semantic spec for those helpers.
+license) — word-boundary placement is a golden-pinned parity contract
+(tests/test_transcribe.py word-timing assertions), so each helper cites the
+reference range that serves as its spec.
 """
 
 import os
@@ -186,36 +186,108 @@ def find_alignment(
     ]
 
 
-def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
-    # prepended punctuation joins the following word
-    i = len(alignment) - 2
-    j = len(alignment) - 1
-    while i >= 0:
-        previous = alignment[i]
-        following = alignment[j]
-        if previous.word.startswith(" ") and previous.word.strip() in prepended:
-            following.word = previous.word + following.word
-            following.tokens = previous.tokens + following.tokens
-            previous.word = ""
-            previous.tokens = []
-        else:
-            j = i
-        i -= 1
+def _absorb(donor: WordTiming, keeper: WordTiming, donor_first: bool) -> None:
+    """Fold `donor`'s text+tokens into `keeper` (order per donor_first) and
+    blank the donor — blanked entries keep their slot so token bookkeeping
+    in add_word_timestamps still walks the original alignment."""
+    if donor_first:
+        keeper.word = donor.word + keeper.word
+        keeper.tokens = donor.tokens + keeper.tokens
+    else:
+        keeper.word = keeper.word + donor.word
+        keeper.tokens = keeper.tokens + donor.tokens
+    donor.word = ""
+    donor.tokens = []
 
-    # appended punctuation joins the preceding word
-    i = 0
-    j = 1
-    while j < len(alignment):
-        previous = alignment[i]
-        following = alignment[j]
-        if not previous.word.endswith(" ") and following.word in appended:
-            previous.word = previous.word + following.word
-            previous.tokens = previous.tokens + following.tokens
-            following.word = ""
-            following.tokens = []
+
+def merge_punctuations(alignment: List[WordTiming], prepended: str, appended: str):
+    """Attach punctuation 'words' to their neighbors (spec: reference
+    timing.py:234-265): opening marks (a leading-space word in `prepended`)
+    fold into the word after them; closing marks (in `appended`, when the
+    word before doesn't end in a space) fold into the word before."""
+    # right-to-left: each opening mark joins the nearest surviving follower
+    anchor = len(alignment) - 1
+    for k in range(len(alignment) - 2, -1, -1):
+        cand = alignment[k]
+        if cand.word.startswith(" ") and cand.word.strip() in prepended:
+            _absorb(cand, alignment[anchor], donor_first=True)
         else:
-            i = j
-        j += 1
+            anchor = k
+
+    # left-to-right: each closing mark joins the nearest surviving leader
+    anchor = 0
+    for k in range(1, len(alignment)):
+        cand = alignment[k]
+        if not alignment[anchor].word.endswith(" ") and cand.word in appended:
+            _absorb(cand, alignment[anchor], donor_first=False)
+        else:
+            anchor = k
+
+
+_SENTENCE_MARKS = ".。!！?？"
+
+
+def _typical_and_cap_durations(alignment: List[WordTiming]) -> tuple:
+    """(typical_s, cap_s): the median nonzero word span clipped to 0.7 s,
+    and the 2x cap the clamp heuristics treat as 'too long' (spec:
+    reference timing.py:305-310)."""
+    spans = np.array([w.end - w.start for w in alignment])
+    spans = spans[spans.nonzero()]
+    typical_s = float(np.median(spans)) if len(spans) else 0.0
+    typical_s = min(0.7, typical_s)
+    return typical_s, 2 * typical_s, len(spans) > 0
+
+
+def _clamp_at_sentence_marks(alignment: List[WordTiming], cap_s: float) -> None:
+    """An overlong word touching a sentence boundary gets clipped to the
+    cap: a long PERIOD shrinks forward from its start; a long word right
+    AFTER a period shrinks backward from its end."""
+    for k in range(1, len(alignment)):
+        w = alignment[k]
+        if w.end - w.start <= cap_s:
+            continue
+        if w.word in _SENTENCE_MARKS:
+            w.end = w.start + cap_s
+        elif alignment[k - 1].word in _SENTENCE_MARKS:
+            w.start = w.end - cap_s
+
+
+def _clamp_after_pause(
+    words: List[dict], pause_started: float, typical_s: float, cap_s: float
+) -> None:
+    """A segment's first word shouldn't stretch back across a long pause
+    (spec: reference timing.py:344-357): when the gap since the last speech
+    exceeds 4x the typical span AND the opening word (or opening pair) is
+    overlong, pull its start in — rebalancing against an overlong second
+    word first."""
+    opener = words[0]
+    if opener["end"] - pause_started <= typical_s * 4:
+        return
+    pair_overlong = (
+        len(words) > 1 and words[1]["end"] - opener["start"] > cap_s * 2
+    )
+    if not (opener["end"] - opener["start"] > cap_s or pair_overlong):
+        return
+    if len(words) > 1 and words[1]["end"] - words[1]["start"] > cap_s:
+        split = max(words[1]["end"] / 2, words[1]["end"] - cap_s)
+        opener["end"] = words[1]["start"] = split
+    opener["start"] = max(0, opener["end"] - cap_s)
+
+
+def _snap_segment_edges(segment: dict, words: List[dict], typical_s: float) -> None:
+    """Reconcile word-edge times with the segment's timestamp-token times
+    (spec: reference timing.py:359-374): trust the segment time when the
+    edge word overshoots it by more than half a second, otherwise move the
+    segment time onto the word."""
+    opener, closer = words[0], words[-1]
+    if segment["start"] < opener["end"] and segment["start"] - 0.5 > opener["start"]:
+        opener["start"] = max(0, min(opener["end"] - typical_s, segment["start"]))
+    else:
+        segment["start"] = opener["start"]
+    if segment["end"] > closer["start"] and segment["end"] + 0.5 < closer["end"]:
+        closer["end"] = max(closer["start"] + typical_s, segment["end"])
+    else:
+        segment["end"] = closer["end"]
 
 
 def add_word_timestamps(
@@ -234,93 +306,49 @@ def add_word_timestamps(
     if len(segments) == 0:
         return
 
-    text_tokens_per_segment = [
-        [token for token in segment["tokens"] if token < tokenizer.eot]
-        for segment in segments
+    spoken_per_segment = [
+        [t for t in seg["tokens"] if t < tokenizer.eot] for seg in segments
     ]
-
-    text_tokens = [t for seg in text_tokens_per_segment for t in seg]
     alignment = find_alignment(
-        model, tokenizer, text_tokens, num_frames, ck, cv, **kwargs
+        model,
+        tokenizer,
+        [t for seg in spoken_per_segment for t in seg],
+        num_frames,
+        ck,
+        cv,
+        **kwargs,
     )
-    word_durations = np.array([t.end - t.start for t in alignment])
-    word_durations = word_durations[word_durations.nonzero()]
-    median_duration = np.median(word_durations) if len(word_durations) > 0 else 0.0
-    median_duration = min(0.7, float(median_duration))
-    max_duration = median_duration * 2
 
-    # truncate overlong words at sentence boundaries
-    if len(word_durations) > 0:
-        sentence_end_marks = ".。!！?？"
-        for i in range(1, len(alignment)):
-            if alignment[i].end - alignment[i].start > max_duration:
-                if alignment[i].word in sentence_end_marks:
-                    alignment[i].end = alignment[i].start + max_duration
-                elif alignment[i - 1].word in sentence_end_marks:
-                    alignment[i].start = alignment[i].end - max_duration
-
+    typical_s, cap_s, have_spans = _typical_and_cap_durations(alignment)
+    if have_spans:
+        _clamp_at_sentence_marks(alignment, cap_s)
     merge_punctuations(alignment, prepend_punctuations, append_punctuations)
 
-    time_offset = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
-    word_index = 0
+    window_t0 = segments[0]["seek"] * HOP_LENGTH / SAMPLE_RATE
+    cursor = 0  # alignment entries consumed so far
 
-    for segment, text_tokens in zip(segments, text_tokens_per_segment):
-        saved_tokens = 0
-        words = []
-
-        while word_index < len(alignment) and saved_tokens < len(text_tokens):
-            timing = alignment[word_index]
-            if timing.word:
+    for segment, spoken in zip(segments, spoken_per_segment):
+        consumed = 0
+        words: List[dict] = []
+        # hand each segment exactly its own tokens' worth of alignment
+        # entries; punctuation-blanked entries spend tokens but emit nothing
+        while cursor < len(alignment) and consumed < len(spoken):
+            entry = alignment[cursor]
+            if entry.word:
                 words.append(
                     dict(
-                        word=timing.word,
-                        start=round(time_offset + timing.start, 2),
-                        end=round(time_offset + timing.end, 2),
-                        probability=timing.probability,
+                        word=entry.word,
+                        start=round(window_t0 + entry.start, 2),
+                        end=round(window_t0 + entry.end, 2),
+                        probability=entry.probability,
                     )
                 )
-            saved_tokens += len(timing.tokens)
-            word_index += 1
+            consumed += len(entry.tokens)
+            cursor += 1
 
-        # truncate overlong words at segment boundaries
-        if len(words) > 0:
-            # the first word after a long pause shouldn't stretch across it
-            if words[0]["end"] - last_speech_timestamp > median_duration * 4 and (
-                words[0]["end"] - words[0]["start"] > max_duration
-                or (
-                    len(words) > 1
-                    and words[1]["end"] - words[0]["start"] > max_duration * 2
-                )
-            ):
-                if (
-                    len(words) > 1
-                    and words[1]["end"] - words[1]["start"] > max_duration
-                ):
-                    boundary = max(words[1]["end"] / 2, words[1]["end"] - max_duration)
-                    words[0]["end"] = words[1]["start"] = boundary
-                words[0]["start"] = max(0, words[0]["end"] - max_duration)
-
-            # prefer segment-level start/end when the edge words are too long
-            if (
-                segment["start"] < words[0]["end"]
-                and segment["start"] - 0.5 > words[0]["start"]
-            ):
-                words[0]["start"] = max(
-                    0, min(words[0]["end"] - median_duration, segment["start"])
-                )
-            else:
-                segment["start"] = words[0]["start"]
-
-            if (
-                segment["end"] > words[-1]["start"]
-                and segment["end"] + 0.5 < words[-1]["end"]
-            ):
-                words[-1]["end"] = max(
-                    words[-1]["start"] + median_duration, segment["end"]
-                )
-            else:
-                segment["end"] = words[-1]["end"]
-
+        if words:
+            _clamp_after_pause(words, last_speech_timestamp, typical_s, cap_s)
+            _snap_segment_edges(segment, words, typical_s)
             last_speech_timestamp = segment["end"]
 
         segment["words"] = words
