@@ -59,10 +59,16 @@ def main():
     )
 
     # warmup: drain a throwaway request set so the fused graph for
-    # n_audio == slots (and helper programs) compile outside the timed run
+    # n_audio == slots (and helper programs) compile outside the timed run.
+    # Clip lengths cycle the WORKLOAD's distinct lengths: the device-mel
+    # window-slice programs are keyed per mel-length bucket, and under the
+    # axon service a program's real compile happens at first EXECUTION —
+    # warming a different bucket leaves the first timed round paying it.
     t_w = time.perf_counter()
-    for _ in range(slots):
-        cb.submit((rng.randn(2 * 16000) * 0.1).astype(np.float32))
+    warm_lengths = sorted(set(lengths_s))
+    for i in range(slots):
+        sec = warm_lengths[i % len(warm_lengths)]
+        cb.submit((rng.randn(sec * 16000) * 0.1).astype(np.float32))
     cb.drain()
     warm_s = time.perf_counter() - t_w
 
