@@ -126,10 +126,13 @@ def main():
     audio_box = {}
 
     def _synth():
-        audio = synth_audio(CLIP_SECONDS)
-        audio_box["padded"] = np.pad(
-            np.clip(audio * 32768.0, -32768, 32767).astype(np.int16), (0, 480000)
-        )
+        try:
+            audio = synth_audio(CLIP_SECONDS)
+            audio_box["padded"] = np.pad(
+                np.clip(audio * 32768.0, -32768, 32767).astype(np.int16), (0, 480000)
+            )
+        except BaseException as e:  # surfaced after join(); a daemon
+            audio_box["error"] = e  # thread's traceback is otherwise lost
 
     audio_thread = threading.Thread(target=_synth, daemon=True)
 
@@ -247,6 +250,8 @@ def main():
     jax.device_get(jax.tree.leaves(fr)[0][0, 0, 0, :1])  # sync frontend
     t_frontend_ready = time.perf_counter() - t0
     audio_thread.join()  # typically long done by now
+    if "error" in audio_box:
+        raise RuntimeError("audio synthesis failed") from audio_box["error"]
     total_tokens = run_clip(trace=log)  # end-to-end warm pass (all compiled)
     warm = time.perf_counter() - t0
     warmup_breakdown = {

@@ -203,20 +203,23 @@ def _zero_mel(n_mels: int, frames: int):
     return _ZERO_MELS[key]
 
 
-def _window_batch_jit(slots: int, n_mels: int, frames: int):
+def _window_batch_jit(slots: int, n_mels: int, frames: int, with_acc: bool):
     """One program slicing EVERY slot's window for one mel-length bucket:
     `slots` dynamic_slices + tail masks, stacked to (slots, n_mels, 3000).
     Keys on (slots, bucket length) — a handful of compiles ever, vs one
     dispatch per occupied slot per round (16 dispatches/round at slots=16,
-    the r3 known-minor this replaces)."""
-    key = (slots, n_mels, frames)
+    the r3 known-minor this replaces). The `with_acc` variant folds the
+    cross-bucket combine INTO the program (donated accumulator), so a round
+    costs exactly one dispatch per length bucket — never more than the
+    per-slot scheme even when every occupied slot has a distinct length."""
+    key = (slots, n_mels, frames, with_acc)
     if key not in _WINDOW_BATCH_JITS:
         import jax
         import jax.numpy as jnp
 
         n_frames = _CHUNK_SAMPLES // HOP_LENGTH
 
-        def _wins(mels, seeks, sizes):
+        def _wins(mels, seeks, sizes, acc=None):
             cols = jnp.arange(n_frames)[None, :]
             rows = []
             for i, mel in enumerate(mels):
@@ -224,23 +227,29 @@ def _window_batch_jit(slots: int, n_mels: int, frames: int):
                     mel, (0, seeks[i]), (mel.shape[0], n_frames)
                 )
                 rows.append(jnp.where(cols < sizes[i], win, 0.0))
-            return jnp.stack(rows)
+            stacked = jnp.stack(rows)
+            return stacked if acc is None else acc + stacked
 
-        _WINDOW_BATCH_JITS[key] = jax.jit(_wins)
+        _WINDOW_BATCH_JITS[key] = (
+            jax.jit(_wins, donate_argnums=(3,))  # acc is round-local
+            if with_acc
+            else jax.jit(lambda mels, seeks, sizes: _wins(mels, seeks, sizes))
+        )
     return _WINDOW_BATCH_JITS[key]
 
 
 def device_mel_round_windows(slot_mels, seeks, sizes, n_mels: int):
     """Build one lockstep round's (slots, n_mels, N_FRAMES) window stack from
-    per-slot device mels in <= (#length-buckets) + (#buckets - 1) device
-    programs. `slot_mels[i]` is the slot's full device mel (n_mels, F_i) or
-    None when the slot is idle; idle slots come back as zero windows (the
-    semantics the decode path already expects for padding slots).
+    per-slot device mels in exactly (#length-buckets) device programs.
+    `slot_mels[i]` is the slot's full device mel (n_mels, F_i) or None when
+    the slot is idle; idle slots come back as zero windows (the semantics
+    the decode path already expects for padding slots).
 
     Slots sharing a mel-length bucket ride ONE program (zero mels fill the
     other positions — sliced+masked they contribute exact zeros), and
-    multi-bucket rounds combine by addition since every program zeroes the
-    slots outside its bucket."""
+    multi-bucket rounds combine inside the bucket programs themselves: each
+    subsequent program adds its stack onto the (donated) accumulator, so the
+    dispatch count is #buckets <= #occupied-slots at any bucket diversity."""
     import jax.numpy as jnp
 
     slots = len(slot_mels)
@@ -252,7 +261,7 @@ def device_mel_round_windows(slot_mels, seeks, sizes, n_mels: int):
     if not buckets:
         return jnp.zeros((slots, n_mels, n_frames), jnp.float32)
 
-    outs = []
+    total = None
     for frames, members in sorted(buckets.items()):
         member_set = set(members)
         mels, bseeks, bsizes = [], [], []
@@ -265,14 +274,13 @@ def device_mel_round_windows(slot_mels, seeks, sizes, n_mels: int):
                 mels.append(_zero_mel(n_mels, frames))
                 bseeks.append(0)
                 bsizes.append(0)
-        outs.append(
-            _window_batch_jit(slots, n_mels, frames)(
-                tuple(mels),
-                jnp.asarray(bseeks, jnp.int32),
-                jnp.asarray(bsizes, jnp.int32),
-            )
+        args = (
+            tuple(mels),
+            jnp.asarray(bseeks, jnp.int32),
+            jnp.asarray(bsizes, jnp.int32),
         )
-    total = outs[0]
-    for o in outs[1:]:
-        total = total + o
+        if total is None:
+            total = _window_batch_jit(slots, n_mels, frames, False)(*args)
+        else:
+            total = _window_batch_jit(slots, n_mels, frames, True)(*args, total)
     return total

@@ -93,6 +93,7 @@ class StreamingTranscriber:
             task=task,
         )
         self._audio = np.zeros(0, np.float32)
+        self._base = 0  # absolute mel frame index of self._audio[0]
         self._seek = 0  # mel frames consumed (absolute)
         self._all_tokens: List[int] = []
         self._prompt_reset_since = 0
@@ -103,6 +104,12 @@ class StreamingTranscriber:
         if partial_hop_s is not None and partial_hop_s <= 0:
             raise ValueError("partial_hop_s must be positive (or None)")
         self.partial_hop_s = partial_hop_s
+        # sub-frame hops would degenerate to "partial on every feed()"
+        self._partial_hop_frames = (
+            max(1, int(partial_hop_s * SAMPLE_RATE) // HOP_LENGTH)
+            if partial_hop_s is not None
+            else None
+        )
         self._last_partial_frames = 0  # content frames at the last partial
 
     # -- internals ---------------------------------------------------------
@@ -153,32 +160,47 @@ class StreamingTranscriber:
 
     # STFT windows look ±N_FFT/2 samples past a frame boundary; waiting for
     # this many extra frames before decoding a non-final window guarantees
-    # the emitted frames are bit-identical to a whole-file mel.
+    # the emitted frames are bit-identical to a whole-file mel. The same
+    # margin of REAL samples to the left of a cut makes a tail mel
+    # bit-identical to the whole-file mel from the cut frame onward (the
+    # hann window reaches N_FFT/2 = 200 samples back; 2 frames = 320).
     _LOOKAHEAD_FRAMES = 2
+
+    def _content_frames(self) -> int:
+        return self._base + len(self._audio) // HOP_LENGTH
+
+    def _window_mel(self, avail: int):
+        """Mel window starting at the absolute frame `self._seek`, computed
+        over only the retained tail (O(window), not O(stream age)); frames
+        match a whole-stream mel exactly (see _LOOKAHEAD_FRAMES)."""
+        start = max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
+        cut = self._audio[(start - self._base) * HOP_LENGTH :]
+        mel = np.asarray(
+            log_mel_spectrogram(cut, self.model.dims.n_mels, padding=N_SAMPLES)
+        )
+        off = self._seek - start
+        segment_size = min(N_FRAMES, avail)
+        return pad_or_trim(mel[:, off : off + segment_size], N_FRAMES), segment_size
+
+    def _trim_consumed(self) -> None:
+        """Drop audio the decode loop can never look at again: everything
+        before seek minus the mel margin. Keeps the buffer O(one window)."""
+        keep_from = max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
+        if keep_from > self._base:
+            self._audio = self._audio[(keep_from - self._base) * HOP_LENGTH :]
+            self._base = keep_from
 
     def _process(self, final: bool) -> List[dict]:
         """Decode as many complete windows as the buffer allows."""
         out: List[dict] = []
-        mel_full = None
         while True:
-            content_frames = len(self._audio) // HOP_LENGTH
+            content_frames = self._content_frames()
             avail = content_frames - self._seek
             if avail <= 0:
                 break
             if avail < N_FRAMES + self._LOOKAHEAD_FRAMES and not final:
                 break  # wait for a full window (+ mel lookahead margin)
-            if mel_full is None:
-                # mel over the WHOLE retained buffer + the same zero padding
-                # as transcribe(): window slices match the batch path exactly
-                mel_full = np.asarray(
-                    log_mel_spectrogram(
-                        self._audio, self.model.dims.n_mels, padding=N_SAMPLES
-                    )
-                )
-            segment_size = min(N_FRAMES, avail)
-            mel_window = pad_or_trim(
-                mel_full[:, self._seek : self._seek + segment_size], N_FRAMES
-            )
+            mel_window, segment_size = self._window_mel(avail)
             time_offset = float(self._seek * HOP_LENGTH / SAMPLE_RATE)
 
             result = self._decode_window(mel_window.astype(np.float32))
@@ -237,12 +259,13 @@ class StreamingTranscriber:
         audio = np.asarray(audio, dtype=np.float32).reshape(-1)
         self._audio = np.concatenate([self._audio, audio])
         out = self._process(final=False)
+        self._trim_consumed()
         if self.partial_hop_s is not None:
-            content_frames = len(self._audio) // HOP_LENGTH
-            hop_frames = int(self.partial_hop_s * SAMPLE_RATE) // HOP_LENGTH
+            content_frames = self._content_frames()
             if (
                 content_frames - self._seek > 0
-                and content_frames - self._last_partial_frames >= hop_frames
+                and content_frames - self._last_partial_frames
+                >= self._partial_hop_frames
             ):
                 out.extend(self.partial())
         return out
@@ -255,20 +278,16 @@ class StreamingTranscriber:
         without ever differing from a batch `transcribe()`."""
         if self._flushed:
             return []
-        content_frames = len(self._audio) // HOP_LENGTH
+        content_frames = self._content_frames()
         avail = content_frames - self._seek
-        if avail <= 0:
+        # decoding a sub-second open window padded to 30 s is hallucination
+        # bait — the batch path discards such tails outright
+        # (transcribe.py sub-second tail rule); hold the partial until at
+        # least one second of undecoded audio exists
+        if avail < SAMPLE_RATE // HOP_LENGTH:
             return []
         self._last_partial_frames = content_frames
-        mel_full = np.asarray(
-            log_mel_spectrogram(
-                self._audio, self.model.dims.n_mels, padding=N_SAMPLES
-            )
-        )
-        segment_size = min(N_FRAMES, avail)
-        mel_window = pad_or_trim(
-            mel_full[:, self._seek : self._seek + segment_size], N_FRAMES
-        )
+        mel_window, segment_size = self._window_mel(avail)
         result = self._decode_window(mel_window.astype(np.float32))
         if (
             self.no_speech_threshold is not None
