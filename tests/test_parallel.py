@@ -171,6 +171,17 @@ def test_dp_speculative_matches_single_device(tpu_model, mesh8):
     assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
     np.testing.assert_allclose(np.asarray(dp[2]), np.asarray(ref[2]), atol=1e-4)
 
+    # and with an sp axis: BOTH models' cross-K/V frame axes shard over sp
+    # (the draft's too — same 1500-frame audio context by construction)
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    sp_eng = DataParallelSpeculativeEngine(
+        tpu_model, draft, make_mesh(dp=2, sp=2, tp=2), k=3
+    )
+    sp = sp_eng.run(initial, ck, cv, dck, dcv, **kwargs)
+    assert int(sp[1]) == n
+    assert np.array_equal(np.asarray(sp[0])[:, :n], np.asarray(ref[0])[:, :n])
+
 
 def test_set_mesh_product_surface(tpu_model, mesh8, jfk_audio):
     """model.set_mesh(mesh) routes the PRODUCT decode surface through the
@@ -201,10 +212,45 @@ def test_set_mesh_product_surface(tpu_model, mesh8, jfk_audio):
         ]
 
 
+def test_dp_sp_engine_matches_single_device(tpu_model):
+    """Sequence parallelism on the DECODE surface: a (dp=2, sp=2, tp=2) mesh
+    shards the cross-K/V 1500-frame axis over sp inside the fused beam-search
+    program (GSPMD inserts the cross-attention softmax collectives) and must
+    stay token-identical to the single-device engine."""
+    from whisper_tpu.engine_fused import FusedEngine
+    from whisper_tpu.parallel.mesh import make_mesh
+    from whisper_tpu.parallel.serve import DataParallelEngine, _frame_axis
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 (virtual) devices")
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    assert _frame_axis(mesh, tpu_model) == "sp"
+
+    A = 4
+    rng = np.random.RandomState(13)
+    mel = (rng.randn(A, tpu_model.dims.n_mels, 3000) * 0.5).astype(np.float32)
+    ck, cv = tpu_model.cross_kv(tpu_model.encode(mel))
+    kwargs = dict(
+        sot_index=0, suppress_ids=[11, 220], blank_ids=[220, 50257],
+        max_initial_ts_index=50, sample_len=12, n_group=2, beam_search=True,
+        max_candidates=2, use_timestamps=True, temperature=0.0,
+        eot=50257, timestamp_begin=50365, no_timestamps=50364,
+        no_speech=50363, rng_seed=0,
+    )  # fmt: skip
+    initial = np.tile(np.array([[50258, 50259, 50359]], np.int32), (A, 1))
+    ref = FusedEngine(tpu_model).run(initial, ck, cv, **kwargs)
+    sp = DataParallelEngine(tpu_model, mesh).run(initial, ck, cv, **kwargs)
+    n = int(ref[1])
+    assert int(sp[1]) == n
+    assert np.array_equal(np.asarray(sp[0])[:, :n], np.asarray(ref[0])[:, :n])
+    np.testing.assert_allclose(np.asarray(sp[2]), np.asarray(ref[2]), atol=1e-4)
+
+
 def test_set_mesh_tolerates_extra_axes(tpu_model):
-    """A mesh carrying sp/pp axes (e.g. built for the pp/sp encoders) must
-    still drive the dp/tp product surface — the extra axes just replicate.
-    decode() output must match the single-device engine."""
+    """A mesh carrying sp/pp axes must still drive the product surface:
+    sp now shards the cross-K/V frame axis inside the decode program
+    (pp still replicates on the decode surface — the decoder fits one
+    chip). decode() output must match the single-device engine."""
     from whisper_tpu.decoding import DecodingOptions, decode
     from whisper_tpu.parallel.mesh import make_mesh
 

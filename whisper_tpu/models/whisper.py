@@ -351,8 +351,14 @@ class Whisper:
 
         enc_sh = param_shardings(self.params["encoder"], mesh)
         dec_sh = param_shardings(self.params["decoder"], mesh)
+        from ..parallel.serve import _frame_axis
+
         dp3 = NamedSharding(mesh, P("dp", None, None))
-        ckv_out = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+        # frames shard over sp (when present) so decode consumes the
+        # cross-K/V in place — see parallel/serve.py on sp-in-decode
+        ckv_out = NamedSharding(
+            mesh, P(None, "dp", "tp", None, _frame_axis(mesh, self))
+        )
         n_audio_head, n_text_head = self.dims.n_audio_head, self.dims.n_text_head
         self._encode_sharded = jax.jit(
             partial(graphs.encode, n_head=n_audio_head),

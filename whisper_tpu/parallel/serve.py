@@ -29,6 +29,15 @@ from ..speculative import SpeculativeEngine
 from .sharding import param_shardings
 
 
+def _frame_axis(mesh: Mesh, model):
+    """The mesh axis (or None) carrying the cross-K/V 1500-frame dimension:
+    `sp` when present and it divides n_audio_ctx evenly — sequence
+    parallelism on the DECODE surface (the encoder analog lives in
+    parallel/sequence.py)."""
+    sp = mesh.shape.get("sp", 1)
+    return "sp" if sp > 1 and model.dims.n_audio_ctx % sp == 0 else None
+
+
 class DataParallelEngine(FusedEngine):
     """FusedEngine whose compiled graphs shard the audio batch over `dp` and
     the attention heads over `tp`. n_audio must be divisible by dp (keep
@@ -55,9 +64,15 @@ class DataParallelEngine(FusedEngine):
         # the engine runs with weight-only int8 decode (extra @scale leaves)
         dec_sharding = param_shardings(self._decoder_params(), mesh)
         repl = NamedSharding(mesh, P())
-        # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp (int8
-        # mode quantizes them INSIDE the program, so the inputs stay plain)
-        ckv_spec = NamedSharding(mesh, P(None, "dp", "tp", None, None))
+        # ck/cv: (L, A, H, dh, 1500) — batch over dp, heads over tp, and the
+        # 1500-frame axis over sp when the mesh carries one: cross-attention
+        # reads are the decode step's second-largest bandwidth sink, so each
+        # sp rank holds (and streams) 1/sp of the cross-K/V while GSPMD
+        # inserts the softmax max/sum collectives (int8 mode quantizes them
+        # INSIDE the program — the per-frame scales shard along)
+        ckv_spec = NamedSharding(
+            mesh, P(None, "dp", "tp", None, _frame_axis(mesh, self.model))
+        )
         in_shardings = (
             dec_sharding,
             NamedSharding(mesh, P("dp", None)),  # initial tokens (A, 448)
@@ -88,14 +103,18 @@ def dp_encode(model, mesh: Mesh):
 
 
 def dp_cross_kv(model, mesh: Mesh):
-    """Batched cross-KV sharded over (dp, tp): xa (A, 1500, d) -> (ck, cv)."""
+    """Batched cross-KV sharded over (dp, tp): xa (A, 1500, d) -> (ck, cv).
+    With an sp axis, the outputs land frame-sharded so the decode program
+    consumes them in place (no resharding between the two programs)."""
     from ..models import graphs
 
     dec_sharding = param_shardings(model.params["decoder"], mesh)
     return jax.jit(
         partial(graphs.cross_kv, n_head=model.dims.n_text_head),
         in_shardings=(dec_sharding, NamedSharding(mesh, P("dp", None, None))),
-        out_shardings=NamedSharding(mesh, P(None, "dp", "tp", None, None)),
+        out_shardings=NamedSharding(
+            mesh, P(None, "dp", "tp", None, _frame_axis(mesh, model))
+        ),
     )
 
 
@@ -120,14 +139,17 @@ class DataParallelSpeculativeEngine(SpeculativeEngine):
         repl = NamedSharding(mesh, P())
         tp = mesh.shape.get("tp", 1)
 
-        def ckv_spec(n_head):
+        def ckv_spec(n_head, model):
             # a draft with fewer heads than tp keeps its cross-K/V head axis
-            # replicated (GSPMD still shards the dp batch axis)
+            # replicated (GSPMD still shards the dp batch axis); the frame
+            # axis shards over sp exactly as in DataParallelEngine
             head_axis = "tp" if n_head % tp == 0 else None
-            return NamedSharding(mesh, P(None, "dp", head_axis, None, None))
+            return NamedSharding(
+                mesh, P(None, "dp", head_axis, None, _frame_axis(mesh, model))
+            )
 
-        ckv_t = ckv_spec(self.model.dims.n_text_head)
-        ckv_d = ckv_spec(self.draft.dims.n_text_head)
+        ckv_t = ckv_spec(self.model.dims.n_text_head, self.model)
+        ckv_d = ckv_spec(self.draft.dims.n_text_head, self.draft)
         in_shardings = (
             dec_t,
             dec_d,
