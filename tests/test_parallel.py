@@ -127,6 +127,17 @@ def test_dp_engine_int8_matches_single_device_int8(tpu_model, mesh8):
     assert int(dp[1]) == n
     assert np.array_equal(np.asarray(dp[0])[:, :n], np.asarray(ref[0])[:, :n])
 
+    # int8 composed with sp-in-decode: the in-program cross-K/V quantization
+    # computes per-frame scales, which shard over sp along with the frames
+    from whisper_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) >= 8:
+        sp = DataParallelEngine(
+            tpu_model, make_mesh(dp=2, sp=2, tp=2), weights="int8"
+        ).run(initial, ck, cv, **kwargs)
+        assert int(sp[1]) == n
+        assert np.array_equal(np.asarray(sp[0])[:, :n], np.asarray(ref[0])[:, :n])
+
 
 def test_dp_speculative_matches_single_device(tpu_model, mesh8):
     """Sharded speculative greedy decode == single-device speculative decode
