@@ -14,8 +14,10 @@ conditioning):
     for seg in st.flush():             # decode the final partial window
         print(seg["text"])
 
-Mel is computed over the retained audio with the same boundary handling as
-the batch path, so a stream fed in chunks produces the same segments as
+Mel windows are computed over only the undecoded tail (with a 2-frame
+margin that makes them bit-identical to a whole-stream mel), and consumed
+audio is trimmed, so per-window cost and memory stay O(30 s) regardless of
+stream age — yet a stream fed in chunks produces the same segments as
 `transcribe()` on the concatenated audio (pinned in tests for the supported
 option subset: no clip_timestamps / word timestamps / hallucination
 heuristics — use transcribe() for those).
