@@ -19,6 +19,14 @@ Execution maps onto the four compiled graphs:
 
 This fork of Whisper broke `detect_language` (model.logits removed,
 reference model.py:96-107); it is restored here.
+
+PROVENANCE: the reference file above (itself openai/whisper, MIT license) is
+the semantic SPEC for the option surface, suppression sets, initial-token
+trimming, timestamp rules and beam bookkeeping — they ARE the parity
+contract (token-for-token greedy/beam equality is pinned against the live
+reference in tests/test_decoding.py). The code is this repo's own
+expression of that spec; the execution split (what runs in which compiled
+graph) is documented above and has no reference counterpart.
 """
 
 from dataclasses import dataclass, field, replace
@@ -62,10 +70,11 @@ def detect_language(
         tokenizer = get_tokenizer(
             model.is_multilingual, num_languages=model.num_languages
         )
-    if (
+    lang_tok_missing = (
         tokenizer.language is None
         or tokenizer.language_token not in tokenizer.sot_sequence
-    ):
+    )
+    if lang_tok_missing:
         raise ValueError(
             "This model doesn't have language tokens so it can't perform lang id"
         )
@@ -246,11 +255,12 @@ class MaximumLikelihoodRanker(SequenceRanker):
         def scores(logprobs, lengths):
             result = []
             for logprob, length in zip(logprobs, lengths):
+                # alpha=None -> plain per-token average; otherwise the
+                # Google NMT penalty ((5+len)/6)^alpha (reference :228-235)
                 if self.length_penalty is None:
-                    penalty = length
+                    result.append(logprob / length)
                 else:
-                    penalty = ((5 + length) / 6) ** self.length_penalty
-                result.append(logprob / penalty)
+                    result.append(logprob / ((5 + length) / 6) ** self.length_penalty)
             return result
 
         lengths = [[len(t) for t in s] for s in tokens]
@@ -304,19 +314,15 @@ class GreedyDecoder(TokenDecoder):
 
 class BeamSearchDecoder(TokenDecoder):
     def __init__(
-        self,
-        beam_size: int,
-        eot: int,
-        inference: Inference,
+        self, beam_size: int, eot: int, inference: Inference,
         patience: Optional[float] = None,
     ):
-        self.beam_size = beam_size
-        self.eot = eot
-        self.inference = inference
+        self.beam_size, self.eot, self.inference = beam_size, eot, inference
         self.patience = patience or 1.0
+        # patience scales how many finished candidates to collect per audio
+        # before stopping (reference decoding.py:337-345)
         self.max_candidates: int = round(beam_size * self.patience)
         self.finished_sequences = None
-
         assert self.max_candidates > 0, (
             f"Invalid beam size ({beam_size}) or patience ({patience})"
         )
@@ -363,31 +369,30 @@ class BeamSearchDecoder(TokenDecoder):
             for sequence in sorted(scores, key=scores.get, reverse=True):
                 if sequence[-1] == self.eot:
                     finished[sequence] = scores[sequence]
-                else:
-                    sum_logprobs[len(next_tokens)] = scores[sequence]
-                    next_tokens.append(sequence)
-                    source_indices.append(sources[sequence])
-                    saved += 1
-                    if saved == self.beam_size:
-                        break
-
+                    continue
+                sum_logprobs[len(next_tokens)] = scores[sequence]
+                next_tokens.append(sequence)
+                source_indices.append(sources[sequence])
+                saved += 1
+                if saved == self.beam_size:
+                    break
             finished_sequences.append(finished)
 
         tokens = np.array(next_tokens, dtype=tokens.dtype)
         self.inference.rearrange_kv_cache(source_indices)
 
+        # merge this step's finishers into the per-audio candidate pools,
+        # best logprob first, capped at max_candidates (= beam * patience;
+        # reference decoding.py:386-409). Decoding completes once every
+        # pool is full.
         assert len(self.finished_sequences) == len(finished_sequences)
-        for previously_finished, newly_finished in zip(
-            self.finished_sequences, finished_sequences
-        ):
-            for seq in sorted(newly_finished, key=newly_finished.get, reverse=True):
-                if len(previously_finished) >= self.max_candidates:
-                    break
-                previously_finished[seq] = newly_finished[seq]
+        for pool, fresh in zip(self.finished_sequences, finished_sequences):
+            ranked = sorted(fresh, key=fresh.get, reverse=True)
+            room = max(0, self.max_candidates - len(pool))
+            pool.update((seq, fresh[seq]) for seq in ranked[:room])
 
         completed = all(
-            len(sequences) >= self.max_candidates
-            for sequences in self.finished_sequences
+            len(pool) >= self.max_candidates for pool in self.finished_sequences
         )
         return tokens, completed
 
@@ -494,32 +499,32 @@ class ApplyTimestampRules(LogitFilter):
 
 
 class DecodingTask:
-    inference: Inference
-    sequence_ranker: SequenceRanker
-    decoder: TokenDecoder
-    logit_filters: List[LogitFilter]
+    """Wires one decode attempt: tokenizer, initial tokens, token decoder
+    (greedy/beam), logit filters, and the inference backend, with the same
+    derived quantities as the reference task (decoding.py:535-597)."""
 
     def __init__(self, model: "Whisper", options: DecodingOptions):
         self.model = model
-
-        language = options.language or "en"
+        self.options: DecodingOptions = self._verify_options(options)
         tokenizer = get_tokenizer(
             model.is_multilingual,
             num_languages=model.num_languages,
-            language=language,
+            language=options.language or "en",
             task=options.task,
         )
         self.tokenizer: Tokenizer = tokenizer
-        self.options: DecodingOptions = self._verify_options(options)
 
+        # group = concurrent hypotheses per audio; sample_len defaults to
+        # half the text context (the reference's cap, decoding.py:553-556)
         self.n_group: int = options.beam_size or options.best_of or 1
         self.n_ctx: int = model.dims.n_text_ctx
         self.sample_len: int = options.sample_len or model.dims.n_text_ctx // 2
 
-        self.sot_sequence = tokenizer.sot_sequence
-        if self.options.without_timestamps:
-            self.sot_sequence = tokenizer.sot_sequence_including_notimestamps
-
+        self.sot_sequence = (
+            tokenizer.sot_sequence_including_notimestamps
+            if self.options.without_timestamps
+            else tokenizer.sot_sequence
+        )
         self.initial_tokens: Tuple[int, ...] = self._get_initial_tokens()
         self.sample_begin: int = len(self.initial_tokens)
         self.sot_index: int = self.initial_tokens.index(tokenizer.sot)
@@ -545,54 +550,55 @@ class DecodingTask:
             max_initial_timestamp_index = None
             if options.max_initial_timestamp:
                 max_initial_timestamp_index = round(
-                    self.options.max_initial_timestamp / precision
+                    options.max_initial_timestamp / precision
                 )
-            self.logit_filters.append(
-                ApplyTimestampRules(
-                    tokenizer, self.sample_begin, max_initial_timestamp_index
-                )
-            )
+            self.logit_filters.append(ApplyTimestampRules(
+                tokenizer, self.sample_begin, max_initial_timestamp_index))
 
     def _verify_options(self, options: DecodingOptions) -> DecodingOptions:
+        # same rejection set (and messages) as the reference :599-612
+        bad = None
         if options.beam_size is not None and options.best_of is not None:
-            raise ValueError("beam_size and best_of can't be given together")
-        if options.temperature == 0 and options.best_of is not None:
-            raise ValueError("best_of with greedy sampling (T=0) is not compatible")
-        if options.patience is not None and options.beam_size is None:
-            raise ValueError("patience requires beam_size to be given")
-        if options.length_penalty is not None and not (
+            bad = "beam_size and best_of can't be given together"
+        elif options.temperature == 0 and options.best_of is not None:
+            bad = "best_of with greedy sampling (T=0) is not compatible"
+        elif options.patience is not None and options.beam_size is None:
+            bad = "patience requires beam_size to be given"
+        elif options.length_penalty is not None and not (
             0 <= options.length_penalty <= 1
         ):
-            raise ValueError("length_penalty (alpha) should be a value between 0 and 1")
+            bad = "length_penalty (alpha) should be a value between 0 and 1"
+        if bad:
+            raise ValueError(bad)
         return options
 
     def _get_initial_tokens(self) -> Tuple[int, ...]:
-        tokens = list(self.sot_sequence)
+        """Initial sequence: [sot_prev + trimmed prompt] + sot_sequence +
+        [trimmed prefix].
 
-        if prefix := self.options.prefix:
-            prefix_tokens = (
-                self.tokenizer.encode(" " + prefix.strip())
-                if isinstance(prefix, str)
-                else prefix
-            )
+        Trim rules are the parity contract (reference decoding.py:614-640,
+        pinned by tests/test_decoding.py): string prompts/prefixes are
+        encoded with a leading space after stripping; a prefix keeps its
+        LAST ``n_ctx//2 - sample_len`` tokens when sample_len is set; a
+        prompt keeps its last ``n_ctx//2 - 1`` tokens behind a sot_prev
+        marker prepended to the whole sequence.
+        """
+
+        def as_ids(text_or_ids) -> List[int]:
+            if isinstance(text_or_ids, str):
+                return self.tokenizer.encode(" " + text_or_ids.strip())
+            return list(text_or_ids)
+
+        seq = list(self.sot_sequence)
+        if self.options.prefix:
+            prefix = as_ids(self.options.prefix)
             if self.sample_len is not None:
-                max_prefix_len = self.n_ctx // 2 - self.sample_len
-                prefix_tokens = prefix_tokens[-max_prefix_len:]
-            tokens = tokens + prefix_tokens
-
-        if prompt := self.options.prompt:
-            prompt_tokens = (
-                self.tokenizer.encode(" " + prompt.strip())
-                if isinstance(prompt, str)
-                else prompt
-            )
-            tokens = (
-                [self.tokenizer.sot_prev]
-                + prompt_tokens[-(self.n_ctx // 2 - 1) :]
-                + tokens
-            )
-
-        return tuple(tokens)
+                prefix = prefix[-(self.n_ctx // 2 - self.sample_len) :]
+            seq += prefix
+        if self.options.prompt:
+            prompt = as_ids(self.options.prompt)
+            seq = [self.tokenizer.sot_prev] + prompt[-(self.n_ctx // 2 - 1) :] + seq
+        return tuple(seq)
 
     def _get_suppress_tokens(self) -> Tuple[int, ...]:
         suppress_tokens = self.options.suppress_tokens
@@ -608,18 +614,12 @@ class DecodingTask:
         else:
             assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
 
-        suppress_tokens.extend(
-            [
-                self.tokenizer.transcribe,
-                self.tokenizer.translate,
-                self.tokenizer.sot,
-                self.tokenizer.sot_prev,
-                self.tokenizer.sot_lm,
-            ]
-        )
-        if self.tokenizer.no_speech is not None:
-            suppress_tokens.append(self.tokenizer.no_speech)
-
+        # task/control specials are always suppressed (reference :654-666)
+        tok = self.tokenizer
+        suppress_tokens += [tok.transcribe, tok.translate, tok.sot, tok.sot_prev,
+                            tok.sot_lm]
+        if tok.no_speech is not None:
+            suppress_tokens.append(tok.no_speech)
         return tuple(sorted(set(suppress_tokens)))
 
     def _detect_language(self, audio_features, tokens: np.ndarray):
@@ -952,10 +952,10 @@ class DecodingTask:
                 language=language,
                 tokens=tokens,
                 text=text,
-                avg_logprob=avg_logprob,
-                no_speech_prob=no_speech_prob,
                 temperature=self.options.temperature,
+                avg_logprob=avg_logprob,
                 compression_ratio=compression_ratio(text),
+                no_speech_prob=no_speech_prob,
                 cross_kv=ckv,
             )
             for text, language, tokens, features, avg_logprob, no_speech_prob, ckv in zip(

@@ -12,6 +12,14 @@ The number pass is written as an explicit state machine over a 3-token
 window: `_Acc` holds the pending numeric accumulator (int while arithmetic
 composition is possible, str once digits must be concatenated) and a pending
 sign/currency prefix; per-class handlers consume one word each.
+
+PROVENANCE: the reference file above (itself openai/whisper, MIT license)
+defines the normalization TABLES — number words, contraction/abbreviation
+replacements, filler list, UK->US map (normalizers/english.json, declared
+shared data in PARITY.md) — which are golden-pinned and necessarily match
+the reference entry-for-entry. The number-FSM implementation around them is
+this repo's own (the reference uses a generator over word triples; this file
+uses an explicit accumulator state machine).
 """
 
 import json

@@ -7,6 +7,14 @@ as assets/{gpt2,multilingual}.tiktoken), special tokens in the exact order
 <|startoflm|>, <|startofprev|>, <|nospeech|>, <|notimestamps|>, then 1501
 timestamp tokens <|0.00|> .. <|30.00|>, plus the word-splitting rules used by
 word-level timestamp alignment.
+
+PROVENANCE: the reference file above (itself openai/whisper, MIT license)
+defines the token space this file must reproduce bit-for-bit — the
+100-language table, the special-token names and their relative order, and
+the non-speech suppression list are golden-pinned DATA (tests/test_tokenizer
+.py, tests/test_golden.py), not design choices, so those blocks necessarily
+mirror the reference. The surrounding implementation (rank loading, encoding
+construction, caching) is this repo's own.
 """
 
 import base64
