@@ -40,11 +40,75 @@ def test_streaming_incremental_emission(tpu_model, jfk_audio):
         st.feed(np.zeros(10, np.float32))
 
 
-def test_streaming_requires_language(tpu_model):
-    if not tpu_model.is_multilingual:
-        pytest.skip("monolingual defaults to en")
-    with pytest.raises(ValueError, match="language"):
-        StreamingTranscriber(tpu_model)
+def test_streaming_language_autodetect(tpu_model, jfk_audio):
+    """language=None: streaming detects on its first finalized window — the
+    same window batch transcribe(language=None) detects on — then pins it,
+    producing identical language + segments."""
+    assert tpu_model.is_multilingual
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    ref = tpu_model.transcribe(long_audio, temperature=0.0, verbose=None)
+
+    st = StreamingTranscriber(tpu_model, temperature=0.0)
+    assert st.result["language"] is None  # not pinned before any decode
+    got = []
+    step = 3 * 16000
+    for i in range(0, len(long_audio), step):
+        got.extend(st.feed(long_audio[i : i + step]))
+    got.extend(st.flush())
+
+    assert st.result["language"] == ref["language"]
+    assert st.result["text"] == ref["text"]
+    assert [s["tokens"] for s in got] == [s["tokens"] for s in ref["segments"]]
+
+
+def test_streaming_autodetect_partials_before_pin(tpu_model, jfk_audio):
+    """Pre-pin partials detect provisionally and never pin: finals still
+    match batch transcribe(language=None) exactly."""
+    ref = tpu_model.transcribe(jfk_audio, temperature=0.0, verbose=None)
+    st = StreamingTranscriber(tpu_model, temperature=0.0)
+    st.feed(jfk_audio[: 5 * 16000])
+    st.partial()  # provisional detect; must not pin
+    assert st.result["language"] is None
+    st.feed(jfk_audio[5 * 16000 :])
+    finals = st.flush()
+    assert st.result["language"] == ref["language"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+
+
+def test_streaming_word_timestamps(tpu_model, jfk_audio):
+    """word_timestamps=True: finals carry the same `words` (text, start,
+    end, probability) as batch transcribe(word_timestamps=True), including
+    the word-end seek rule's effect on segment boundaries."""
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    ref = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None,
+        word_timestamps=True,
+    )
+
+    st = StreamingTranscriber(
+        tpu_model, language="en", temperature=0.0, word_timestamps=True
+    )
+    got = []
+    step = 4 * 16000
+    for i in range(0, len(long_audio), step):
+        got.extend(st.feed(long_audio[i : i + step]))
+    got.extend(st.flush())
+
+    assert st.result["text"] == ref["text"]
+    ref_segs = ref["segments"]
+    assert len(got) == len(ref_segs)
+    assert any("words" in s and s["words"] for s in got), "no words attached"
+    for a, b in zip(got, ref_segs):
+        assert a["tokens"] == b["tokens"]
+        assert abs(a["start"] - b["start"]) < 1e-6
+        assert abs(a["end"] - b["end"]) < 1e-6
+        wa, wb = a.get("words", []), b.get("words", [])
+        assert len(wa) == len(wb)
+        for x, y in zip(wa, wb):
+            assert x["word"] == y["word"]
+            assert abs(x["start"] - y["start"]) < 1e-6
+            assert abs(x["end"] - y["end"]) < 1e-6
+            assert abs(x["probability"] - y["probability"]) < 1e-6
 
 
 def test_streaming_partials_before_first_window(tpu_model, jfk_audio):

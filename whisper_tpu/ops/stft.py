@@ -25,8 +25,10 @@ def _hann_window(n: int) -> np.ndarray:
     return (0.5 - 0.5 * np.cos(2.0 * np.pi * np.arange(n) / n)).astype(np.float64)
 
 
-def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0) -> np.ndarray:
-    """audio: float32 (n_samples,) at 16 kHz -> (n_mels, n_samples//160) float32."""
+def log_mel_raw_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0) -> np.ndarray:
+    """Unnormalized log10 mel: (n_mels, n_samples//160) float64. The caller
+    applies `normalize_log_mel` — split out so a streaming consumer can use
+    a stream-global max instead of this chunk's local max."""
     audio = np.asarray(audio, dtype=np.float32)
     if padding > 0:
         audio = np.concatenate([audio, np.zeros(padding, dtype=np.float32)])
@@ -45,9 +47,21 @@ def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0
     magnitudes = np.abs(spec[:-1]) ** 2  # drop the final frame like torch path
 
     mel = mel_filterbank(n_mels).astype(np.float64) @ magnitudes.T
-    log_spec = np.log10(np.maximum(mel, 1e-10))
-    log_spec = np.maximum(log_spec, log_spec.max() - 8.0)
+    return np.log10(np.maximum(mel, 1e-10))
+
+
+def normalize_log_mel(log_spec: np.ndarray, log_max: float) -> np.ndarray:
+    """Whisper's dynamic-range floor + scaling: clamp to (max - 8), then
+    (x + 4) / 4. `log_max` is the max over whatever scope defines the clip
+    (the whole file in batch; the stream-so-far in streaming)."""
+    log_spec = np.maximum(log_spec, log_max - 8.0)
     return ((log_spec + 4.0) / 4.0).astype(np.float32)
+
+
+def log_mel_spectrogram_np(audio: np.ndarray, n_mels: int = 80, padding: int = 0) -> np.ndarray:
+    """audio: float32 (n_samples,) at 16 kHz -> (n_mels, n_samples//160) float32."""
+    log_spec = log_mel_raw_np(audio, n_mels=n_mels, padding=padding)
+    return normalize_log_mel(log_spec, float(log_spec.max()))
 
 
 def log_mel_spectrogram_jax(audio, n_mels: int = 80):

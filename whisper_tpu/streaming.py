@@ -19,8 +19,16 @@ margin that makes them bit-identical to a whole-stream mel), and consumed
 audio is trimmed, so per-window cost and memory stay O(30 s) regardless of
 stream age — yet a stream fed in chunks produces the same segments as
 `transcribe()` on the concatenated audio (pinned in tests for the supported
-option subset: no clip_timestamps / word timestamps / hallucination
-heuristics — use transcribe() for those).
+option subset: no clip_timestamps / hallucination heuristics — use
+transcribe() for those).
+
+`word_timestamps=True` attaches per-word times to FINAL segments via the
+same alignment replay the batch path uses, including its word-end seek rule,
+so finals match `transcribe(word_timestamps=True)` (partials stay word-free:
+they are latency-critical advisories). `language=None` on a multilingual
+model auto-detects on the first finalized window — the same window batch
+`transcribe(language=None)` detects on — then pins it; pre-pin partials
+detect provisionally per window.
 
 Low-latency PARTIAL results: pass `partial_hop_s` (e.g. 1.0) and feed()
 additionally emits advisory segments for the still-open window — the
@@ -37,17 +45,18 @@ from typing import List, Optional
 import numpy as np
 
 from .audio import (
+    FRAMES_PER_SECOND,
     HOP_LENGTH,
     N_FRAMES,
     N_SAMPLES,
     SAMPLE_RATE,
-    log_mel_spectrogram,
     pad_or_trim,
 )
+from .ops.stft import log_mel_raw_np, normalize_log_mel
 from .decoding import DecodingOptions, DecodingResult
 from .tokenizer import get_tokenizer
 from .transcribe import segment_builder, segments_from_tokens
-from .utils import exact_div
+from .utils import exact_div, get_end
 
 
 class StreamingTranscriber:
@@ -65,6 +74,9 @@ class StreamingTranscriber:
         no_speech_threshold: Optional[float] = 0.6,
         condition_on_previous_text: bool = True,
         partial_hop_s: Optional[float] = None,
+        word_timestamps: bool = False,
+        prepend_punctuations: str = "\"'“¿([{-",
+        append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
         verbose: Optional[bool] = None,  # transcribe() signature compat;
         # streaming emits segments via feed()/flush(), not a live log
         **decode_options,
@@ -72,11 +84,10 @@ class StreamingTranscriber:
         self.model = model
         if language is None and not model.is_multilingual:
             language = "en"
-        if language is None:
-            raise ValueError(
-                "streaming requires a fixed language (auto-detect would need "
-                "the first window before emitting anything; pass language=...)"
-            )
+        # language=None on a multilingual model: auto-detect on the FIRST
+        # decoded window (batch semantics, transcribe.py detects on
+        # mel_window(0, N_FRAMES)) and pin it for the rest of the stream.
+        # Until then partials use a provisional per-window detection.
         self.language = language
         self.task = task
         self.temperatures = (
@@ -86,9 +97,17 @@ class StreamingTranscriber:
         self.logprob_threshold = logprob_threshold
         self.no_speech_threshold = no_speech_threshold
         self.condition_on_previous_text = condition_on_previous_text
-        self.decode_options = decode_options
+        self.word_timestamps = word_timestamps
+        self.prepend_punctuations = prepend_punctuations
+        self.append_punctuations = append_punctuations
+        self.decode_options = dict(decode_options)
+        if word_timestamps:
+            # let the alignment replay reuse each window's decode-pass
+            # cross-K/V instead of recomputing it (batch transcribe.py:384)
+            self.decode_options.setdefault("keep_cross_kv", True)
+        self._last_speech_ts = 0.0
 
-        self.tokenizer = get_tokenizer(
+        self.tokenizer = None if language is None else get_tokenizer(
             model.is_multilingual,
             num_languages=model.num_languages,
             language=language,
@@ -96,6 +115,7 @@ class StreamingTranscriber:
         )
         self._audio = np.zeros(0, np.float32)
         self._base = 0  # absolute mel frame index of self._audio[0]
+        self._log_max = -np.inf  # running log-mel max over the whole stream
         self._seek = 0  # mel frames consumed (absolute)
         self._all_tokens: List[int] = []
         self._prompt_reset_since = 0
@@ -116,7 +136,32 @@ class StreamingTranscriber:
 
     # -- internals ---------------------------------------------------------
 
-    def _decode_window(self, mel_window) -> DecodingResult:
+    def _detect_window_language(self) -> str:
+        """detect_language on the stream's current window — built EXACTLY
+        like the batch path's detection window (transcribe.py:341-354):
+        N_FRAMES frames sliced from the zero-PADDED mel, so a short window's
+        tail is mel-of-silence frames, not literal zeros (a decode window
+        pads with zeros instead; the two differ, and detection must match
+        batch bit-for-bit)."""
+        mel = self._tail_mel()
+        off = self._seek - max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
+        window = mel[:, off : off + N_FRAMES].astype(np.float32)
+        _, lang_probs = self.model.detect_language(window)
+        return max(lang_probs, key=lang_probs.get)
+
+    def _pin_language(self) -> None:
+        """Pin the stream's language from its first decoded window and build
+        the tokenizer. Finals match batch transcribe(language=None): both
+        detect on the frame-0 window of the same (bit-identical) mel."""
+        self.language = self._detect_window_language()
+        self.tokenizer = get_tokenizer(
+            self.model.is_multilingual,
+            num_languages=self.model.num_languages,
+            language=self.language,
+            task=self.task,
+        )
+
+    def _decode_window(self, mel_window, language=None) -> DecodingResult:
         result = None
         for t in self.temperatures:
             kwargs = dict(self.decode_options)
@@ -131,7 +176,7 @@ class StreamingTranscriber:
                 else []
             )
             options = DecodingOptions(
-                language=self.language,
+                language=language or self.language,
                 task=self.task,
                 temperature=t,
                 prompt=prompt,
@@ -160,6 +205,33 @@ class StreamingTranscriber:
                 break
         return result
 
+    def _align_words(self, segments: List[dict], result: DecodingResult,
+                     segment_size: int) -> None:
+        """Attach word-level timestamps to this window's segments via the
+        batch alignment replay (timing.add_word_timestamps): teacher-forced
+        prefill over the window's cross-K/V, median-filtered alignment-head
+        weights, DTW. Same call the batch path makes (transcribe.py:485-503),
+        so finals carry the same `words` as transcribe(word_timestamps=True)."""
+        from .timing import add_word_timestamps
+
+        if result.cross_kv is not None:
+            ck, cv = result.cross_kv
+        else:
+            import jax.numpy as jnp
+
+            ck, cv = self.model.cross_kv(jnp.asarray(result.audio_features)[None])
+        add_word_timestamps(
+            segments=segments,
+            model=self.model,
+            tokenizer=self.tokenizer,
+            num_frames=segment_size,
+            ck=ck,
+            cv=cv,
+            prepend_punctuations=self.prepend_punctuations,
+            append_punctuations=self.append_punctuations,
+            last_speech_timestamp=self._last_speech_ts,
+        )
+
     # STFT windows look ±N_FFT/2 samples past a frame boundary; waiting for
     # this many extra frames before decoding a non-final window guarantees
     # the emitted frames are bit-identical to a whole-file mel. The same
@@ -171,16 +243,30 @@ class StreamingTranscriber:
     def _content_frames(self) -> int:
         return self._base + len(self._audio) // HOP_LENGTH
 
+    def _tail_mel(self) -> np.ndarray:
+        """Normalized mel of the retained tail (+30 s zero pad), with the
+        dynamic-range floor anchored to the RUNNING stream-wide max: batch
+        transcribe() floors at the whole file's max (stft.py
+        normalize_log_mel), so a tail-local max would shift quiet frames
+        whenever the stream's loudest moment has been trimmed away. The
+        running max covers every frame ever fed (window mels tile the
+        stream contiguously), leaving only a true causality gap: a window
+        finalized BEFORE the stream's loudest frame arrives uses the
+        max-so-far, exactly as a live system must. Returns the mel starting
+        at absolute frame max(base, seek - lookahead)."""
+        start = max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
+        cut = self._audio[(start - self._base) * HOP_LENGTH :]
+        raw = log_mel_raw_np(cut, self.model.dims.n_mels, padding=N_SAMPLES)
+        self._log_max = max(self._log_max, float(raw.max()))
+        return normalize_log_mel(raw, self._log_max)
+
     def _window_mel(self, avail: int):
         """Mel window starting at the absolute frame `self._seek`, computed
         over only the retained tail (O(window), not O(stream age)); frames
-        match a whole-stream mel exactly (see _LOOKAHEAD_FRAMES)."""
-        start = max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
-        cut = self._audio[(start - self._base) * HOP_LENGTH :]
-        mel = np.asarray(
-            log_mel_spectrogram(cut, self.model.dims.n_mels, padding=N_SAMPLES)
-        )
-        off = self._seek - start
+        match a whole-stream mel exactly (see _LOOKAHEAD_FRAMES and
+        _tail_mel)."""
+        mel = self._tail_mel()
+        off = self._seek - max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
         segment_size = min(N_FRAMES, avail)
         return pad_or_trim(mel[:, off : off + segment_size], N_FRAMES), segment_size
 
@@ -202,10 +288,18 @@ class StreamingTranscriber:
                 break
             if avail < N_FRAMES + self._LOOKAHEAD_FRAMES and not final:
                 break  # wait for a full window (+ mel lookahead margin)
+            if final and avail < SAMPLE_RATE // HOP_LENGTH:
+                # padding a sub-second tail out to 30 s causes
+                # hallucinations; discard it like the batch path
+                # (transcribe.py sub-second tail rule, reference :292-297)
+                break
             mel_window, segment_size = self._window_mel(avail)
+            mel_window = mel_window.astype(np.float32)
             time_offset = float(self._seek * HOP_LENGTH / SAMPLE_RATE)
+            if self.language is None:
+                self._pin_language()
 
-            result = self._decode_window(mel_window.astype(np.float32))
+            result = self._decode_window(mel_window)
 
             if (
                 self.no_speech_threshold is not None
@@ -218,7 +312,8 @@ class StreamingTranscriber:
                 self._seek += segment_size
                 continue
 
-            segments, self._seek, _ = segments_from_tokens(
+            seek_before = self._seek
+            segments, self._seek, lone_final_ts = segments_from_tokens(
                 tokens=np.array(result.tokens),
                 tokenizer=self.tokenizer,
                 result=result,
@@ -227,12 +322,25 @@ class StreamingTranscriber:
                 time_offset=time_offset,
                 time_precision=self._time_precision,
                 input_stride=self._input_stride,
-                make_segment=segment_builder(self.tokenizer, self._seek),
+                make_segment=segment_builder(self.tokenizer, seek_before),
             )
+            if self.word_timestamps:
+                self._align_words(segments, result, segment_size)
+                # word-end seek: trust word times over the window size when
+                # the decode didn't end on a lone timestamp (batch
+                # transcribe.py:506-511)
+                if not lone_final_ts:
+                    spoken_until = get_end(segments)
+                    if spoken_until is not None and spoken_until > time_offset:
+                        self._seek = round(spoken_until * FRAMES_PER_SECOND)
+                spoken_until = get_end(segments)
+                if spoken_until is not None:
+                    self._last_speech_ts = spoken_until
             for seg in segments:
                 if seg["start"] == seg["end"] or seg["text"].strip() == "":
                     seg["text"] = ""
                     seg["tokens"] = []
+                    seg["words"] = []
             numbered = [
                 {"id": i, **seg}
                 for i, seg in enumerate(segments, start=len(self._segments))
@@ -290,7 +398,22 @@ class StreamingTranscriber:
             return []
         self._last_partial_frames = content_frames
         mel_window, segment_size = self._window_mel(avail)
-        result = self._decode_window(mel_window.astype(np.float32))
+        mel_window = mel_window.astype(np.float32)
+        # before the stream's language is pinned (first FINAL window),
+        # partials detect provisionally on the open window — advisory only,
+        # never written back, so the pin still happens on the same window
+        # batch transcribe() would detect on
+        language = self.language
+        tokenizer = self.tokenizer
+        if language is None:
+            language = self._detect_window_language()
+            tokenizer = get_tokenizer(
+                self.model.is_multilingual,
+                num_languages=self.model.num_languages,
+                language=language,
+                task=self.task,
+            )
+        result = self._decode_window(mel_window, language=language)
         if (
             self.no_speech_threshold is not None
             and result.no_speech_prob > self.no_speech_threshold
@@ -302,14 +425,14 @@ class StreamingTranscriber:
             return []
         segments, _, _ = segments_from_tokens(
             tokens=np.array(result.tokens),
-            tokenizer=self.tokenizer,
+            tokenizer=tokenizer,
             result=result,
             seek=self._seek,  # local copy inside; self._seek is NOT advanced
             segment_size=segment_size,
             time_offset=float(self._seek * HOP_LENGTH / SAMPLE_RATE),
             time_precision=self._time_precision,
             input_stride=self._input_stride,
-            make_segment=segment_builder(self.tokenizer, self._seek),
+            make_segment=segment_builder(tokenizer, self._seek),
         )
         out = []
         for i, seg in enumerate(segments, start=len(self._segments)):
@@ -327,7 +450,9 @@ class StreamingTranscriber:
 
     @property
     def result(self) -> dict:
-        """transcribe()-shaped result over everything emitted so far."""
+        """transcribe()-shaped result over everything emitted so far.
+        `language` is None until auto-detection pins it (first final
+        window)."""
         return {
             "text": "".join(seg["text"] for seg in self._segments),
             "segments": self._segments,
