@@ -147,3 +147,124 @@ def test_server_soak_no_state_leak(server, jfk_flac_path):
     assert srv._conn_for_ticket == {}
     assert b._streams == {} and b._langs == {} and b._results == {}
     assert not b._queue and all(t is None for t in b._slot_ticket)
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _open_stream(sock_path: str, opts: dict, timeout=300.0):
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(timeout)
+    c.connect(sock_path)
+    c.sendall((json.dumps({"stream": True, **opts}) + "\n").encode())
+    f = c.makefile("rb")
+    ack = json.loads(f.readline())
+    assert ack.get("ack"), ack
+    return c, f
+
+
+def _send_pcm(c: socket.socket, audio: np.ndarray, key="pcm"):
+    import base64
+
+    if key == "pcm":
+        raw = audio.astype("<f4").tobytes()
+    else:
+        raw = np.clip(audio * 32768.0, -32768, 32767).astype("<i2").tobytes()
+    c.sendall((json.dumps({key: base64.b64encode(raw).decode()}) + "\n").encode())
+
+
+def _read_stream_lines(f):
+    """Read lines until done/error; returns (lines, done_or_error)."""
+    lines = []
+    while True:
+        line = f.readline()
+        if not line:
+            return lines, {"error": "connection closed"}
+        msg = json.loads(line)
+        if msg.get("done") or "error" in msg:
+            return lines, msg
+        lines.append(msg)
+
+
+def test_server_streaming_partials_and_finals(server, tpu_model, jfk_audio):
+    """A live streaming session over the real socket daemon: chunked PCM in,
+    at least one partial advisory emitted BEFORE the first final segment,
+    finals bit-identical to batch transcribe() on the concatenated audio."""
+    sock, _ = server
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    ref = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None
+    )
+
+    c, f = _open_stream(sock, {"language": "en", "partial_hop_s": 2.0})
+    step = 2 * 16000
+    for i in range(0, len(long_audio), step):
+        _send_pcm(c, long_audio[i : i + step])
+    c.sendall(b'{"end": true}\n')
+    lines, done = _read_stream_lines(f)
+    c.close()
+
+    assert done.get("done"), done
+    segs = [m["segment"] for m in lines]
+    partials = [s for s in segs if s.get("partial")]
+    finals = [s for s in segs if not s.get("partial")]
+    assert partials, "no partial advisories emitted"
+    # emission order proves a partial arrived before the first window closed
+    first_final_idx = next(i for i, s in enumerate(segs) if not s.get("partial"))
+    assert any(s.get("partial") for s in segs[:first_final_idx]), (
+        "no partial before the first final segment"
+    )
+    assert done["text"] == ref["text"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+
+
+def test_server_streaming_autodetect_language(server, tpu_model, jfk_audio):
+    """A session without a language pin auto-detects on its first finalized
+    window — same result as batch transcribe(language=None)."""
+    sock, _ = server
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])
+    ref = tpu_model.transcribe(long_audio, temperature=0.0, verbose=None)
+
+    c, f = _open_stream(sock, {})
+    step = 4 * 16000
+    for i in range(0, len(long_audio), step):
+        _send_pcm(c, long_audio[i : i + step])
+    c.sendall(b'{"end": true}\n')
+    lines, done = _read_stream_lines(f)
+    c.close()
+
+    assert done.get("done"), done
+    assert done["language"] == ref["language"]
+    assert done["text"] == ref["text"]
+
+
+def test_server_streaming_pcm16(server, tpu_model, jfk_audio):
+    """pcm16 chunks decode as s16/32768 — same contract as the file path."""
+    sock, _ = server
+    quantized = (
+        np.clip(jfk_audio * 32768.0, -32768, 32767).astype(np.int16).astype(np.float32)
+        / 32768.0
+    )
+    ref = tpu_model.transcribe(
+        quantized, language="en", temperature=0.0, verbose=None
+    )
+    c, f = _open_stream(sock, {"language": "en"})
+    _send_pcm(c, jfk_audio, key="pcm16")
+    c.sendall(b'{"end": true}\n')
+    lines, done = _read_stream_lines(f)
+    c.close()
+    assert done.get("done"), done
+    assert done["text"] == ref["text"]
+    assert done["duration"] == pytest.approx(11.0, abs=0.05)
+
+
+def test_server_streaming_bad_line(server):
+    """A malformed stream line answers an error line and closes the session
+    without wedging the server (a normal request still works after)."""
+    sock, _ = server
+    c, f = _open_stream(sock, {"language": "en"})
+    c.sendall(b'{"neither_pcm_nor_end": 1}\n')
+    lines, done = _read_stream_lines(f)
+    assert "error" in done
+    c.close()
+    assert "error" in _request(sock, {"no_audio": 1})  # server still alive

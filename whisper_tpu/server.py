@@ -19,10 +19,34 @@ Every other ContinuousBatcher option is fixed at server construction
 (slots, beam size, ...) — per-request options would change compiled
 shapes, defeating the single-compile design.
 
-Threading model: client sockets are read on acceptor threads (pure IO);
-everything that touches JAX — submit (device mel) and the lockstep rounds —
-runs on the single serve_forever() thread. Responses are written by that
-thread as tickets resolve.
+LIVE STREAMING sessions (chunked audio in, partials out): a first line
+`{"stream": true, ...}` upgrades the connection to a bidirectional session
+backed by StreamingTranscriber (whisper_tpu/streaming.py):
+
+    -> {"stream": true, "language": "en", "partial_hop_s": 1.0,
+        "word_timestamps": false}
+    <- {"ack": true}
+    -> {"pcm": "<base64 float32 LE mono @16 kHz>"}      (repeat per chunk;
+    -> {"pcm16": "<base64 int16 LE mono @16 kHz>"}       either encoding)
+    <- {"segment": {..., "partial": true}}               (advisory, anytime)
+    <- {"segment": {...}}                                (final, anytime)
+    -> {"end": true}
+    <- {"segment": {...}}                                (remaining finals)
+    <- {"done": true, "text": ..., "language": ..., "duration": ...}
+
+Partials are flagged `"partial": true` and are superseded by later lines;
+final segments are bit-identical to `transcribe()` on the concatenated
+audio (the StreamingTranscriber contract). `language` may be omitted on
+multilingual models: the session auto-detects on its first finalized
+window. Keep each pcm line under 1 MiB (~6 s of float32 audio) — ~1 s
+chunks give the best partial latency.
+
+Threading model: client sockets are read on acceptor threads (pure IO,
+including base64 decode); everything that touches JAX — submit (device
+mel), the lockstep rounds, and streaming feed()/flush() decodes — runs on
+the single serve_forever() thread. Responses are written by that thread as
+tickets resolve / sessions emit. A streaming window decode and a batch
+round interleave at window granularity.
 
 Usage:
 
@@ -32,6 +56,7 @@ Usage:
     srv.serve_forever()
 """
 
+import base64
 import json
 import os
 import queue
@@ -39,18 +64,41 @@ import socket
 import threading
 from typing import Dict, Optional
 
+import numpy as np
+
 from .continuous import ContinuousBatcher
+from .streaming import StreamingTranscriber
+
+
+class _StreamSession:
+    """Server-side state of one live streaming connection."""
+
+    __slots__ = ("conn", "st", "fed_samples", "dead")
+
+    def __init__(self, conn: socket.socket, st: StreamingTranscriber):
+        self.conn = conn
+        self.st = st
+        self.fed_samples = 0
+        self.dead = False
+
+
+# per-session knobs a streaming client may set on its opening line; all
+# other options come from the server's construction-time defaults
+_STREAM_SESSION_KEYS = ("language", "partial_hop_s", "word_timestamps", "task")
 
 
 class TranscriptionServer:
     def __init__(self, model, socket_path: str, slots: int = 4, **batcher_options):
         self.socket_path = socket_path
+        self.model = model
+        self._batcher_options = dict(batcher_options)
         self._make_batcher = lambda: ContinuousBatcher(
             model, slots=slots, **batcher_options
         )
         self.batcher = self._make_batcher()
-        self._requests: "queue.Queue" = queue.Queue()  # (conn, payload dict)
+        self._requests: "queue.Queue" = queue.Queue()  # (kind, conn, payload)
         self._conn_for_ticket: Dict[int, socket.socket] = {}
+        self._streams: Dict[int, _StreamSession] = {}  # keyed by id(conn)
         self._stop = threading.Event()
         self._listener: Optional[socket.socket] = None
         # reader threads enqueue under this lock while the flag is open;
@@ -73,7 +121,9 @@ class TranscriptionServer:
             ).start()
 
     REQUEST_TIMEOUT_S = 30.0
-    MAX_REQUEST_BYTES = 1 << 20  # a request is one JSON line with a path
+    STREAM_IDLE_TIMEOUT_S = 300.0  # a live mic pauses, but not for 5 min
+    MAX_REQUEST_BYTES = 1 << 20  # one JSON line (a path, or ~6 s of pcm)
+    MAX_STREAM_PENDING_S = 600.0  # undecoded backlog cap per session
 
     def _read_request(self, conn: socket.socket):
         try:
@@ -87,21 +137,80 @@ class TranscriptionServer:
                 if len(buf) > self.MAX_REQUEST_BYTES:
                     raise ValueError("request exceeds 1 MiB")
             conn.settimeout(None)  # the decode may legitimately take longer
-            payload = json.loads(buf.decode() or "{}")
+            line, _, rest = buf.partition(b"\n")
+            payload = json.loads(line.decode() or "{}")
         except Exception as e:  # malformed/slow request: answer and close here
             self._reply(conn, {"error": f"bad request: {e}"})
             return
-        with self._queue_lock:
-            enqueued = self._queue_open
-            if enqueued:
-                self._requests.put((conn, payload))
-        if not enqueued:  # shutdown drain already ran — answer here
+        if payload.get("stream"):
+            if self._enqueue(("stream_open", conn, payload)):
+                self._read_stream(conn, rest)
+            else:
+                self._reply(conn, {"error": "server shutting down"})
+            return
+        if not self._enqueue(("request", conn, payload)):
             self._reply(conn, {"error": "server shutting down"})
 
-    @staticmethod
-    def _reply(conn: socket.socket, obj: dict):
+    def _enqueue(self, item) -> bool:
+        with self._queue_lock:
+            if self._queue_open:
+                self._requests.put(item)
+                return True
+        return False
+
+    def _read_stream(self, conn: socket.socket, buf: bytes):
+        """Reader loop of one streaming session: parse JSON lines, decode
+        base64 PCM on this IO thread, enqueue numpy chunks for the serve
+        thread. Runs until {"end": true}, EOF, or a protocol error."""
         try:
-            conn.sendall((json.dumps(obj) + "\n").encode())
+            conn.settimeout(self.STREAM_IDLE_TIMEOUT_S)
+            while True:
+                while b"\n" not in buf:
+                    chunk = conn.recv(65536)
+                    if not chunk:  # client vanished: drop without replies
+                        self._enqueue(("stream_abort", conn, None))
+                        return
+                    buf += chunk
+                    if len(buf) > self.MAX_REQUEST_BYTES:
+                        raise ValueError("pcm line exceeds 1 MiB; send smaller chunks")
+                line, _, buf = buf.partition(b"\n")
+                if not line.strip():
+                    continue
+                msg = json.loads(line.decode())
+                if msg.get("end"):
+                    self._enqueue(("stream_end", conn, None))
+                    return
+                if "pcm" in msg:
+                    audio = np.frombuffer(
+                        base64.b64decode(msg["pcm"]), dtype="<f4"
+                    ).astype(np.float32)
+                elif "pcm16" in msg:
+                    audio = (
+                        np.frombuffer(base64.b64decode(msg["pcm16"]), dtype="<i2")
+                        .astype(np.float32)
+                        / 32768.0
+                    )
+                else:
+                    raise ValueError("stream line must carry pcm/pcm16/end")
+                self._enqueue(("stream_feed", conn, audio))
+        except Exception as e:
+            # the serve thread owns the session: let it report and clean up
+            self._enqueue(("stream_fail", conn, f"{type(e).__name__}: {e}"))
+
+    @staticmethod
+    def _json(obj: dict) -> bytes:
+        # segments may carry numpy scalars (seek/start/end); item() unwraps
+        return (
+            json.dumps(
+                obj, default=lambda o: o.item() if hasattr(o, "item") else str(o)
+            )
+            + "\n"
+        ).encode()
+
+    @classmethod
+    def _reply(cls, conn: socket.socket, obj: dict):
+        try:
+            conn.sendall(cls._json(obj))
         except OSError:
             pass
         finally:
@@ -112,10 +221,13 @@ class TranscriptionServer:
     def _admit(self, block: bool):
         try:
             if block:
-                conn, payload = self._requests.get(timeout=0.05)
+                kind, conn, payload = self._requests.get(timeout=0.05)
             else:
-                conn, payload = self._requests.get_nowait()
+                kind, conn, payload = self._requests.get_nowait()
         except queue.Empty:
+            return
+        if kind != "request":
+            self._stream_event(kind, conn, payload)
             return
         audio = payload.get("audio")
         if not isinstance(audio, str):
@@ -130,6 +242,85 @@ class TranscriptionServer:
             self._reply(conn, self.batcher.pop(ticket))
         else:
             self._conn_for_ticket[ticket] = conn
+
+    # ------------------------------------------------------------ streaming
+
+    def _stream_send(self, sess: _StreamSession, obj: dict) -> bool:
+        if sess.dead:
+            return False
+        try:
+            sess.conn.sendall(self._json(obj))
+            return True
+        except OSError:
+            sess.dead = True
+            return False
+
+    def _stream_event(self, kind: str, conn: socket.socket, payload):
+        """Serve-thread half of a streaming session: every feed()/flush()
+        (and therefore every JAX decode) happens here."""
+        key = id(conn)
+        if kind == "stream_open":
+            opts = dict(self._batcher_options)
+            opts.pop("language", None)  # sessions pin/detect independently
+            opts.update(
+                {k: payload[k] for k in _STREAM_SESSION_KEYS if k in payload}
+            )
+            try:
+                sess = _StreamSession(conn, StreamingTranscriber(self.model, **opts))
+            except Exception as e:
+                self._reply(conn, {"error": f"{type(e).__name__}: {e}"})
+                return
+            self._streams[key] = sess
+            self._stream_send(sess, {"ack": True})
+            return
+        sess = self._streams.get(key)
+        if sess is None:
+            return  # already failed/closed
+        if kind == "stream_feed":
+            backlog = sess.fed_samples / 16000.0 - sess.st.decoded_seconds
+            if backlog > self.MAX_STREAM_PENDING_S:
+                self._stream_fail(sess, "undecoded backlog exceeds 10 min")
+                return
+            sess.fed_samples += len(payload)
+            try:
+                for seg in sess.st.feed(payload):
+                    self._stream_send(sess, {"segment": seg})
+            except Exception as e:
+                self._stream_fail(sess, f"{type(e).__name__}: {e}")
+        elif kind == "stream_end":
+            try:
+                for seg in sess.st.flush():
+                    self._stream_send(sess, {"segment": seg})
+                res = sess.st.result
+                self._stream_send(
+                    sess,
+                    {
+                        "done": True,
+                        "text": res["text"],
+                        "language": res["language"],
+                        "duration": sess.fed_samples / 16000.0,
+                    },
+                )
+            except Exception as e:
+                self._stream_fail(sess, f"{type(e).__name__}: {e}")
+                return
+            self._stream_close(sess)
+        elif kind == "stream_fail":
+            self._stream_fail(sess, payload)
+        elif kind == "stream_abort":  # client EOF: nobody is listening
+            sess.dead = True
+            self._stream_close(sess)
+
+    def _stream_fail(self, sess: _StreamSession, message: str):
+        self._stream_send(sess, {"error": message})
+        self._stream_close(sess)
+
+    def _stream_close(self, sess: _StreamSession):
+        self._streams.pop(id(sess.conn), None)
+        try:
+            sess.conn.close()
+        except OSError:
+            pass
 
     def serve_forever(self):
         """Bind, accept, and run lockstep rounds until shutdown()."""
@@ -178,13 +369,17 @@ class TranscriptionServer:
         err = {"error": "server shutting down"}
         while True:
             try:
-                conn, _ = self._requests.get_nowait()
+                kind, conn, _ = self._requests.get_nowait()
             except queue.Empty:
                 break
-            self._reply(conn, err)
+            if kind in ("request", "stream_open"):
+                self._reply(conn, err)
+            # feed/end events belong to sessions closed below
         for conn in self._conn_for_ticket.values():
             self._reply(conn, err)
         self._conn_for_ticket.clear()
+        for sess in list(self._streams.values()):
+            self._stream_fail(sess, "server shutting down")
         if os.path.exists(self.socket_path):
             os.unlink(self.socket_path)
 

@@ -449,6 +449,11 @@ class StreamingTranscriber:
         return self._process(final=True)
 
     @property
+    def decoded_seconds(self) -> float:
+        """Stream position already consumed by finalized decoding."""
+        return self._seek * HOP_LENGTH / SAMPLE_RATE
+
+    @property
     def result(self) -> dict:
         """transcribe()-shaped result over everything emitted so far.
         `language` is None until auto-detection pins it (first final
