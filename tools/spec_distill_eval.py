@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Train a synthetic-distilled draft and measure REAL speculative acceptance.
+
+Round-4 verdict: speculative decoding's live acceptance had only ever been
+measured with the model as its own draft (acceptance == 1 by construction)
+or with an independent random draft (acceptance ~= 0). This driver closes
+the gap that real weights would normally fill: it distills a tiny-class
+student against the FROZEN synthetic turbo target (whisper_tpu/distill.py,
+pseudo-labeled synthetic audio), then measures the acceptance-vs-speedup
+curve of the trained draft at K=4/8 on the real SpeculativeEngine.
+
+Honesty notes:
+  * the teacher is a random-weight turbo — its argmax is a deterministic
+    but unstructured function of the input, so a student can only AGREE
+    with it on audio it trained on. In-sample acceptance demonstrates the
+    full mechanism (distill -> agreement -> measured end-to-end speedup);
+    held-out acceptance is reported too and is expected ~0 on a random
+    teacher (real weights generalize; random ones cannot).
+  * every stage is deterministic (fixed seeds); the pseudo-label manifest
+    and the trained checkpoint are cached in --workdir for re-runs.
+
+Usage:
+    python tools/spec_distill_eval.py [--steps 400] [--clips 16]
+        [--workdir /tmp/spec_distill] [--target turbo] [K ...default 4 8]
+Output: one JSON line per (K, split) plus fused baselines.
+"""
+
+import argparse
+import dataclasses
+import json
+import os
+import sys
+import time
+import wave
+
+os.environ.setdefault("XLA_FLAGS", "")
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import jax  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("WHISPER_TPU_CACHE_DIR", os.path.join(REPO, ".jax_cache")),
+)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+import jax.numpy as jnp  # noqa: E402
+
+from whisper_tpu.engine_fused import FusedEngine  # noqa: E402
+from whisper_tpu.frontend import clip_frontend_spec  # noqa: E402
+from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
+from whisper_tpu.speculative import SpeculativeEngine  # noqa: E402
+from whisper_tpu.tokenizer import get_tokenizer  # noqa: E402
+
+SR = 16000
+CLIP_S = 20  # <=30 s: one training window per clip (finetune.make_example)
+N_TRIALS = 5
+SAMPLE_LEN = 96
+
+
+def synth_speech(seed: int, seconds: int = CLIP_S) -> np.ndarray:
+    """Speech-shaped noise (1/f tilt + 3 Hz AM), distinct per seed."""
+    from scipy.signal import lfilter
+
+    rng = np.random.RandomState(seed)
+    n = seconds * SR
+    x = rng.randn(n).astype(np.float32)
+    y = lfilter([0.03], [1.0, -0.97], x.astype(np.float64))
+    env = 0.5 * (1 + np.sin(2 * np.pi * (2.0 + (seed % 5) * 0.5) * np.arange(n) / SR))
+    return (y * env * 4.0).astype(np.float32)
+
+
+def write_wav(path: str, audio: np.ndarray) -> None:
+    pcm = np.clip(audio * 32768.0, -32768, 32767).astype("<i2")
+    with wave.open(path, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(SR)
+        w.writeframes(pcm.tobytes())
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("ks", nargs="*", type=int, default=None)
+    ap.add_argument("--steps", type=int, default=400)
+    ap.add_argument("--clips", type=int, default=16)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--target", default="turbo")
+    ap.add_argument("--draft", default="tiny")
+    ap.add_argument("--workdir", default="/tmp/spec_distill")
+    args = ap.parse_args()
+    ks = args.ks or [4, 8]
+    os.makedirs(args.workdir, exist_ok=True)
+
+    dims_t = MODEL_DIMS[args.target]
+    model = Whisper(dims_t, params=None, name=args.target, compute_dtype="bfloat16")
+    tok = get_tokenizer(True, language="en", task="transcribe")
+
+    # ---- 1. synthetic manifest, pseudo-labeled by the frozen target -------
+    manifest_path = os.path.join(args.workdir, "manifest_labeled.jsonl")
+    if os.path.exists(manifest_path):
+        from whisper_tpu.finetune import load_manifest
+
+        manifest = load_manifest(manifest_path)
+        print(f"# reusing cached manifest ({len(manifest)} records)", file=sys.stderr)
+    else:
+        from whisper_tpu.distill import pseudo_label
+
+        records = []
+        for i in range(args.clips):
+            path = os.path.join(args.workdir, f"clip{i:03d}.wav")
+            if not os.path.exists(path):
+                write_wav(path, synth_speech(seed=100 + i))
+            records.append({"audio": path})
+        t0 = time.perf_counter()
+        manifest = pseudo_label(model, records, language="en")
+        print(
+            f"# pseudo-labeled {len(manifest)} clips in "
+            f"{time.perf_counter() - t0:.1f}s",
+            file=sys.stderr,
+        )
+        with open(manifest_path, "w") as f:
+            for rec in manifest:
+                f.write(json.dumps(rec) + "\n")
+
+    # ---- 2. distill the draft against the frozen target -------------------
+    draft_dir = os.path.join(args.workdir, f"draft_{args.draft}_{args.steps}steps")
+    if not os.path.isdir(draft_dir):
+        from whisper_tpu.distill import run_distill
+
+        t0 = time.perf_counter()
+        hist = run_distill(
+            model,
+            args.draft,
+            manifest,
+            steps=args.steps,
+            batch_size=args.batch,
+            out_dir=draft_dir,
+            log=lambda m: print(f"# {m}", file=sys.stderr)
+            if "00/" in m or m.startswith("step 1/") or "pseudo" in m
+            else None,
+        )
+        print(
+            f"# distilled {args.steps} steps in {time.perf_counter() - t0:.1f}s "
+            f"(loss {hist[0]:.3f} -> {hist[-1]:.3f})",
+            file=sys.stderr,
+        )
+
+    import whisper_tpu
+
+    draft = whisper_tpu.load_model(draft_dir, compute_dtype="bfloat16")
+    # an untrained control draft: same architecture, independent random init
+    dims_d = dataclasses.replace(
+        MODEL_DIMS[args.draft], n_vocab=dims_t.n_vocab, n_mels=dims_t.n_mels
+    )
+    draft_rand = Whisper(dims_d, params=None, name="rand", compute_dtype="bfloat16")
+
+    # ---- 3. acceptance + end-to-end speedup on the real engine ------------
+    # eval clips: one the student TRAINED on (in-sample: the mechanism
+    # demo) and one it never saw (held-out: expected ~0 on a random teacher)
+    eval_audio = {
+        "train_clip": synth_speech(seed=100),
+        "heldout_clip": synth_speech(seed=999),
+    }
+    initial = np.array([list(tok.sot_sequence)], np.int32)
+    decode_kw = dict(
+        sot_index=0,
+        suppress_ids=[tok.eot],  # fixed 96-token workload (bench.py's)
+        blank_ids=tok.encode(" ") + [tok.eot],
+        max_initial_ts_index=50,
+        sample_len=SAMPLE_LEN,
+        use_timestamps=True,
+        temperature=0.0,
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+    )
+
+    frontend = clip_frontend_spec(dims_t, dims_d, 1)
+    fe = FusedEngine(model)
+
+    def timed(run):
+        run()  # warmup
+        times = []
+        for _ in range(N_TRIALS):
+            t0 = time.perf_counter()
+            out = run()
+            times.append(time.perf_counter() - t0)
+        return float(np.median(times)), out
+
+    for split, audio in eval_audio.items():
+        pcm = np.pad(
+            np.clip(audio * 32768.0, -32768, 32767).astype(np.int16),
+            (0, 30 * SR - len(audio) + 480000),
+        )
+        ck, cv, dck, dcv = frontend(
+            model.params["encoder"], model.params["decoder"],
+            draft.params["encoder"], draft.params["decoder"], jnp.asarray(pcm),
+        )
+        _, _, rck, rcv = frontend(
+            model.params["encoder"], model.params["decoder"],
+            draft_rand.params["encoder"], draft_rand.params["decoder"],
+            jnp.asarray(pcm),
+        )
+        p50_base, _ = timed(
+            lambda: fe.run(
+                initial, ck, cv, n_group=1, beam_search=False,
+                max_candidates=0, **decode_kw
+            )
+        )
+        print(json.dumps({
+            "engine": "fused_greedy", "split": split, "K": None,
+            "p50_decode_s": round(p50_base, 4),
+            "tokens_per_s": round(SAMPLE_LEN / p50_base, 1),
+        }))
+        for k in ks:
+            for kind, d, dk, dv in (
+                ("distilled", draft, dck, dcv),
+                ("random", draft_rand, rck, rcv),
+            ):
+                se = SpeculativeEngine(model, d, k=k)
+                p50, _ = timed(
+                    lambda: se.run(initial, ck, cv, dk, dv, **decode_kw)
+                )
+                acc = round(
+                    float(np.mean(se.last_stats["draft_acceptance"])), 3
+                )
+                print(json.dumps({
+                    "engine": f"speculative_{kind}", "split": split, "K": k,
+                    "p50_decode_s": round(p50, 4),
+                    "tokens_per_s": round(SAMPLE_LEN / p50, 1),
+                    "speedup_vs_fused": round(p50_base / p50, 3),
+                    "acceptance": acc,
+                }))
+
+
+if __name__ == "__main__":
+    main()

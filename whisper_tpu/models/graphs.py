@@ -192,8 +192,13 @@ def _self_attention(q, k, v, mask, n_head):
 # ---------------------------------------------------------------------------
 
 
-def encode(enc, mel, *, n_head):
-    """mel: (B, n_mels, 3000) -> (B, 1500, d) audio features."""
+def encode(enc, mel, *, n_head, unroll: int = 1):
+    """mel: (B, n_mels, 3000) -> (B, 1500, d) audio features.
+
+    `unroll` feeds lax.scan's unroll factor: the product path keeps 1
+    (compile time scales with unrolled body size); tools/graph_bench.py
+    lowers with unroll=n_layer so XLA's cost analysis counts every layer
+    (it prices a rolled scan body once)."""
     dtype = enc["blocks"]["attn_q_w"].dtype
     x = mel.astype(dtype)
 
@@ -222,7 +227,7 @@ def encode(enc, mel, *, n_head):
         x = x + h @ blk["mlp_fc2_w"] + blk["mlp_fc2_b"]
         return x, None
 
-    x, _ = jax.lax.scan(block, x, enc["blocks"])
+    x, _ = jax.lax.scan(block, x, enc["blocks"], unroll=unroll)
     return layer_norm(x, enc["ln_post_g"], enc["ln_post_b"], eps=1e-7)
 
 
@@ -298,7 +303,7 @@ def _mlp(x, blk):
 # ---------------------------------------------------------------------------
 
 
-def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
+def prefill(dec, tokens, n_valid, ck, cv, *, n_head, unroll: int = 1):
     """First decoder pass over a padded token block.
 
     tokens: (B, PREFILL_LEN) int32, garbage beyond n_valid
@@ -333,7 +338,7 @@ def prefill(dec, tokens, n_valid, ck, cv, *, n_head):
         x = x + _mlp(x, blk)
         return x, jnp.stack([k, v])  # (2, B, P, d)
 
-    x, kv = jax.lax.scan(block, x, (blocks, ck, cv))
+    x, kv = jax.lax.scan(block, x, (blocks, ck, cv), unroll=unroll)
     x = layer_norm(x, dec["ln_g"], dec["ln_b"], eps=1e-5)
     return x, kv
 
