@@ -173,3 +173,40 @@ def test_streaming_partial_on_demand(tpu_model, jfk_audio):
 def test_streaming_partial_hop_validation(tpu_model):
     with pytest.raises(ValueError, match="partial_hop_s"):
         StreamingTranscriber(tpu_model, language="en", partial_hop_s=0.0)
+
+
+def test_streaming_hallucination_silence(tpu_model, jfk_audio):
+    """hallucination_silence_threshold composes with word_timestamps in
+    streaming: the silence-skip pass runs per finalized window with the
+    same decisions as batch (gaps engineered away from window boundaries
+    so the documented mid-stream causality caveat cannot trigger)."""
+    sil = np.zeros(8 * 16000, np.float32)
+    audio = np.concatenate(
+        [
+            jfk_audio[: 5 * 16000],
+            sil,
+            jfk_audio[5 * 16000 :],
+            sil,
+            jfk_audio[: 6 * 16000],
+        ]
+    )  # 33 s with two 8 s silences
+    kw = dict(
+        language="en",
+        temperature=0.0,
+        word_timestamps=True,
+        hallucination_silence_threshold=2.0,
+    )
+    ref = tpu_model.transcribe(audio, verbose=None, **kw)
+
+    st = StreamingTranscriber(tpu_model, **kw)
+    got = []
+    step = 3 * 16000
+    for i in range(0, len(audio), step):
+        got.extend(st.feed(audio[i : i + step]))
+    got.extend(st.flush())
+
+    assert st.result["text"] == ref["text"]
+    assert [s["tokens"] for s in got] == [s["tokens"] for s in ref["segments"]]
+    for a, b in zip(got, ref["segments"]):
+        assert abs(a["start"] - b["start"]) < 1e-6
+        assert abs(a["end"] - b["end"]) < 1e-6

@@ -19,16 +19,18 @@ margin that makes them bit-identical to a whole-stream mel), and consumed
 audio is trimmed, so per-window cost and memory stay O(30 s) regardless of
 stream age — yet a stream fed in chunks produces the same segments as
 `transcribe()` on the concatenated audio (pinned in tests for the supported
-option subset: no clip_timestamps / hallucination heuristics — use
-transcribe() for those).
+option subset: everything except clip_timestamps, which names absolute
+file positions and has no live-stream meaning — use transcribe() for it).
 
 `word_timestamps=True` attaches per-word times to FINAL segments via the
 same alignment replay the batch path uses, including its word-end seek rule,
 so finals match `transcribe(word_timestamps=True)` (partials stay word-free:
-they are latency-critical advisories). `language=None` on a multilingual
-model auto-detects on the first finalized window — the same window batch
-`transcribe(language=None)` detects on — then pins it; pre-pin partials
-detect provisionally per window.
+they are latency-critical advisories). `hallucination_silence_threshold`
+composes with it (the batch silence-skip pass runs per finalized window;
+see the __init__ note for the one causality caveat). `language=None` on a
+multilingual model auto-detects on the first finalized window — the same
+window batch `transcribe(language=None)` detects on — then pins it; pre-pin
+partials detect provisionally per window.
 
 Low-latency PARTIAL results: pass `partial_hop_s` (e.g. 1.0) and feed()
 additionally emits advisory segments for the still-open window — the
@@ -55,7 +57,7 @@ from .audio import (
 from .ops.stft import log_mel_raw_np, normalize_log_mel
 from .decoding import DecodingOptions, DecodingResult
 from .tokenizer import get_tokenizer
-from .transcribe import segment_builder, segments_from_tokens
+from .transcribe import _silence_skip_pass, segment_builder, segments_from_tokens
 from .utils import exact_div, get_end
 
 
@@ -77,6 +79,7 @@ class StreamingTranscriber:
         word_timestamps: bool = False,
         prepend_punctuations: str = "\"'“¿([{-",
         append_punctuations: str = "\"'.。,，!！?？:：”)]}、",
+        hallucination_silence_threshold: Optional[float] = None,
         verbose: Optional[bool] = None,  # transcribe() signature compat;
         # streaming emits segments via feed()/flush(), not a live log
         **decode_options,
@@ -100,6 +103,14 @@ class StreamingTranscriber:
         self.word_timestamps = word_timestamps
         self.prepend_punctuations = prepend_punctuations
         self.append_punctuations = append_punctuations
+        # active only with word_timestamps, like batch transcribe. One
+        # causality caveat: the batch tail rule compares an anomaly's end
+        # against the WHOLE file's duration; a live stream only knows it at
+        # flush, so windows finalized mid-stream treat the remaining audio
+        # as unbounded (identical decisions unless the stream happens to
+        # end within `threshold` seconds of a mid-stream window boundary
+        # that carries a culled trailing anomaly).
+        self.hallucination_silence_threshold = hallucination_silence_threshold
         self.decode_options = dict(decode_options)
         if word_timestamps:
             # let the alignment replay reuse each window's decode-pass
@@ -333,6 +344,33 @@ class StreamingTranscriber:
                     spoken_until = get_end(segments)
                     if spoken_until is not None and spoken_until > time_offset:
                         self._seek = round(spoken_until * FRAMES_PER_SECOND)
+                if self.hallucination_silence_threshold is not None:
+                    # mid-stream windows treat the not-yet-fed future as
+                    # unbounded audio (see __init__ note); at flush the true
+                    # bounds apply and decisions match batch exactly
+                    if final:
+                        cf = content_frames
+                        cd = content_frames * HOP_LENGTH / SAMPLE_RATE
+                    else:
+                        cf, cd = 1 << 62, float("inf")
+                    self._seek, restart_window = _silence_skip_pass(
+                        window_segments=segments,
+                        seek=self._seek,
+                        seek_before=seek_before,
+                        window_frames=segment_size,
+                        window_t0=time_offset,
+                        window_t1=float(
+                            (seek_before + N_FRAMES) * HOP_LENGTH / SAMPLE_RATE
+                        ),
+                        window_seconds=segment_size * HOP_LENGTH / SAMPLE_RATE,
+                        content_frames=cf,
+                        content_duration=cd,
+                        threshold=self.hallucination_silence_threshold,
+                        lone_final_ts=lone_final_ts,
+                        hal_last_end=self._last_speech_ts,
+                    )
+                    if restart_window:
+                        continue
                 spoken_until = get_end(segments)
                 if spoken_until is not None:
                     self._last_speech_ts = spoken_until
