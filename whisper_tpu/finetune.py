@@ -62,9 +62,12 @@ def make_example(
     mel = log_mel_spectrogram(audio, n_mels)
     mel = pad_or_trim(np.asarray(mel), N_FRAMES, axis=-1).astype(np.float32)
 
+    # disallowed_special=(): training text is DATA — a transcript that
+    # happens to contain the literal string "<|it|>" (pseudo-labels can)
+    # must encode as plain text, never as the special token
     ids = (
         list(tokenizer.sot_sequence_including_notimestamps)
-        + tokenizer.encode(" " + record["text"].strip())
+        + tokenizer.encode(" " + record["text"].strip(), disallowed_special=())
         + [tokenizer.eot]
     )
     if len(ids) > max_tokens:
