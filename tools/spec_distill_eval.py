@@ -9,6 +9,19 @@ student against the FROZEN synthetic turbo target (whisper_tpu/distill.py,
 pseudo-labeled synthetic audio), then measures the acceptance-vs-speedup
 curve of the trained draft at K=4/8 on the real SpeculativeEngine.
 
+Experimental design (v2 — the first cut measured 0.0 acceptance and the
+post-mortem matters): acceptance is argmax agreement ALONG THE TARGET'S
+GREEDY DECODE PATH under the engine's filter config. Labels therefore come
+from the exact eval configuration — the fused engine decodes each training
+clip (greedy, no timestamps, eot suppressed, device mel) and the token IDS
+label the manifest (`record["tokens"]`; BPE does not round-trip
+decode/encode on generated text), with `mel_padding` making the training
+window normalize like the inference window. v1 trained on transcribe()
+pseudo-label TEXT (timestamped windowed path, host mel, re-encoded) and
+evaluated on the timestamp-filtered path — a random teacher's logits are
+chaotic in the prefix, so every one of those mismatches alone zeroes
+agreement.
+
 Honesty notes:
   * the teacher is a random-weight turbo — its argmax is a deterministic
     but unstructured function of the input, so a student can only AGREE
@@ -16,8 +29,8 @@ Honesty notes:
     full mechanism (distill -> agreement -> measured end-to-end speedup);
     held-out acceptance is reported too and is expected ~0 on a random
     teacher (real weights generalize; random ones cannot).
-  * every stage is deterministic (fixed seeds); the pseudo-label manifest
-    and the trained checkpoint are cached in --workdir for re-runs.
+  * every stage is deterministic (fixed seeds); the label manifest and the
+    trained checkpoint are cached in --workdir for re-runs.
 
 Usage:
     python tools/spec_distill_eval.py [--steps 400] [--clips 16]
@@ -100,27 +113,73 @@ def main():
     model = Whisper(dims_t, params=None, name=args.target, compute_dtype="bfloat16")
     tok = get_tokenizer(True, language="en", task="transcribe")
 
-    # ---- 1. synthetic manifest, pseudo-labeled by the frozen target -------
-    manifest_path = os.path.join(args.workdir, "manifest_labeled.jsonl")
+    # the eval decode configuration — labels are generated under EXACTLY
+    # this config so train and eval walk the same teacher path
+    initial_tokens = list(tok.sot_sequence_including_notimestamps)
+    initial = np.array([initial_tokens], np.int32)
+    decode_kw = dict(
+        sot_index=0,
+        suppress_ids=[tok.eot],  # fixed 96-token workload (bench.py's)
+        blank_ids=tok.encode(" ") + [tok.eot],
+        max_initial_ts_index=50,
+        sample_len=SAMPLE_LEN,
+        use_timestamps=False,
+        temperature=0.0,
+        eot=tok.eot,
+        timestamp_begin=tok.timestamp_begin,
+        no_timestamps=tok.no_timestamps,
+        no_speech=tok.no_speech,
+    )
+
+    from whisper_tpu.frontend import clip_frontend
+
+    frontend_t = clip_frontend(
+        dims_t.n_mels, dims_t.n_audio_head, dims_t.n_text_head, 1
+    )
+    fe = FusedEngine(model)
+
+    def pad_pcm(audio: np.ndarray) -> np.ndarray:
+        return np.pad(
+            np.clip(audio * 32768.0, -32768, 32767).astype(np.int16),
+            (0, 30 * SR - len(audio) + 480000),
+        )
+
+    def teacher_path_tokens(audio: np.ndarray):
+        """The target's greedy token path for one clip under decode_kw."""
+        ckt, cvt = frontend_t(
+            model.params["encoder"], model.params["decoder"],
+            jnp.asarray(pad_pcm(audio)),
+        )
+        out = fe.run(
+            initial, ckt, cvt, n_group=1, beam_search=False,
+            max_candidates=0, **decode_kw
+        )
+        n_tok = int(out[1])
+        return [int(t) for t in np.asarray(out[0])[0, len(initial_tokens): n_tok]]
+
+    # ---- 1. synthetic manifest labeled with the teacher's decode path -----
+    manifest_path = os.path.join(args.workdir, "manifest_tokens.jsonl")
     if os.path.exists(manifest_path):
         from whisper_tpu.finetune import load_manifest
 
         manifest = load_manifest(manifest_path)
         print(f"# reusing cached manifest ({len(manifest)} records)", file=sys.stderr)
     else:
-        from whisper_tpu.distill import pseudo_label
-
-        records = []
+        t0 = time.perf_counter()
+        manifest = []
         for i in range(args.clips):
             path = os.path.join(args.workdir, f"clip{i:03d}.wav")
+            audio = synth_speech(seed=100 + i)
             if not os.path.exists(path):
-                write_wav(path, synth_speech(seed=100 + i))
-            records.append({"audio": path})
-        t0 = time.perf_counter()
-        manifest = pseudo_label(model, records, language="en")
+                write_wav(path, audio)
+            manifest.append({
+                "audio": path,
+                "tokens": teacher_path_tokens(audio),
+                "mel_padding": 30 * SR,  # normalize like the decode window
+            })
         print(
-            f"# pseudo-labeled {len(manifest)} clips in "
-            f"{time.perf_counter() - t0:.1f}s",
+            f"# labeled {len(manifest)} clips with the teacher's decode "
+            f"path in {time.perf_counter() - t0:.1f}s",
             file=sys.stderr,
         )
         with open(manifest_path, "w") as f:
@@ -128,7 +187,7 @@ def main():
                 f.write(json.dumps(rec) + "\n")
 
     # ---- 2. distill the draft against the frozen target -------------------
-    draft_dir = os.path.join(args.workdir, f"draft_{args.draft}_{args.steps}steps")
+    draft_dir = os.path.join(args.workdir, f"draft_{args.draft}_{args.steps}steps_v2")
     if not os.path.isdir(draft_dir):
         from whisper_tpu.distill import run_distill
 
@@ -166,23 +225,7 @@ def main():
         "train_clip": synth_speech(seed=100),
         "heldout_clip": synth_speech(seed=999),
     }
-    initial = np.array([list(tok.sot_sequence)], np.int32)
-    decode_kw = dict(
-        sot_index=0,
-        suppress_ids=[tok.eot],  # fixed 96-token workload (bench.py's)
-        blank_ids=tok.encode(" ") + [tok.eot],
-        max_initial_ts_index=50,
-        sample_len=SAMPLE_LEN,
-        use_timestamps=True,
-        temperature=0.0,
-        eot=tok.eot,
-        timestamp_begin=tok.timestamp_begin,
-        no_timestamps=tok.no_timestamps,
-        no_speech=tok.no_speech,
-    )
-
     frontend = clip_frontend_spec(dims_t, dims_d, 1)
-    fe = FusedEngine(model)
 
     def timed(run):
         run()  # warmup
@@ -194,10 +237,7 @@ def main():
         return float(np.median(times)), out
 
     for split, audio in eval_audio.items():
-        pcm = np.pad(
-            np.clip(audio * 32768.0, -32768, 32767).astype(np.int16),
-            (0, 30 * SR - len(audio) + 480000),
-        )
+        pcm = pad_pcm(audio)
         ck, cv, dck, dcv = frontend(
             model.params["encoder"], model.params["decoder"],
             draft.params["encoder"], draft.params["decoder"], jnp.asarray(pcm),

@@ -63,7 +63,7 @@ def pseudo_label(model, records: List[dict], language: Optional[str] = "en",
     valid input."""
     out = []
     for rec in records:
-        if rec.get("text"):
+        if rec.get("text") or rec.get("tokens") is not None:
             out.append(rec)
             continue
         r = model.transcribe(
@@ -227,8 +227,9 @@ def run_distill(
         task="transcribe",
     )
 
-    if any(not rec.get("text") for rec in manifest):
-        n_missing = sum(not rec.get("text") for rec in manifest)
+    unlabeled = [r for r in manifest if not r.get("text") and r.get("tokens") is None]
+    if unlabeled:
+        n_missing = len(unlabeled)
         log(f"pseudo-labeling {n_missing} unlabeled records with the target model")
         manifest = pseudo_label(model, manifest, language=language)
 

@@ -41,8 +41,9 @@ def load_manifest(path: str, require_text: bool = True) -> List[dict]:
             if not line:
                 continue
             rec = json.loads(line)
-            if "audio" not in rec or (require_text and "text" not in rec):
-                raise ValueError(f"manifest line needs audio+text: {rec}")
+            labeled = "text" in rec or "tokens" in rec
+            if "audio" not in rec or (require_text and not labeled):
+                raise ValueError(f"manifest line needs audio+text (or tokens): {rec}")
             records.append(rec)
     if not records:
         raise ValueError(f"empty manifest: {path}")
@@ -57,17 +58,30 @@ def make_example(
     Tokens are the decoding-time sequence the model must reproduce:
     sot_sequence + text + eot, padded with PAD_ID to the static length
     (the reference's forward teacher-forces the same layout at inference
-    replay, model.py:109-119)."""
+    replay, model.py:109-119).
+
+    Optional record fields: "tokens" (a list of token ids) replaces the
+    re-encoded text body — BPE does not round-trip decode(encode(.)) on
+    arbitrary generated text, so distillation on a teacher's exact decode
+    path labels with ids, not text. "mel_padding" (samples of zero pad
+    before the mel, e.g. N_SAMPLES) makes the training window normalize
+    exactly like an inference window sliced from a padded whole-clip mel.
+    """
     audio = record["audio"]
-    mel = log_mel_spectrogram(audio, n_mels)
+    mel = log_mel_spectrogram(audio, n_mels, padding=record.get("mel_padding", 0))
     mel = pad_or_trim(np.asarray(mel), N_FRAMES, axis=-1).astype(np.float32)
 
-    # disallowed_special=(): training text is DATA — a transcript that
-    # happens to contain the literal string "<|it|>" (pseudo-labels can)
-    # must encode as plain text, never as the special token
+    if record.get("tokens") is not None:
+        body = [int(t) for t in record["tokens"]]
+    else:
+        # disallowed_special=(): training text is DATA — a transcript that
+        # happens to contain the literal string "<|it|>" (pseudo-labels
+        # can) must encode as plain text, never as the special token
+        body = tokenizer.encode(
+            " " + record["text"].strip(), disallowed_special=()
+        )
     ids = (
-        list(tokenizer.sot_sequence_including_notimestamps)
-        + tokenizer.encode(" " + record["text"].strip(), disallowed_special=())
+        list(tokenizer.sot_sequence_including_notimestamps) + body
         + [tokenizer.eot]
     )
     if len(ids) > max_tokens:
