@@ -379,3 +379,98 @@ def test_post_after_drain_answers_503(tpu_model, jfk_flac_path):
     finally:
         srv._httpd.shutdown()
         th.join(timeout=10)
+
+
+# ---------------------------------------------------------------- streaming
+
+
+def _stream_pcm(url: str, audio, *, query="", chunk_s=2.0, encoding="f32",
+                timeout=300.0):
+    """POST raw PCM with chunked transfer-encoding via http.client; returns
+    the list of ndjson messages."""
+    import http.client
+    import numpy as np
+    import urllib.parse as up
+
+    u = up.urlparse(url)
+    conn = http.client.HTTPConnection(u.hostname, u.port, timeout=timeout)
+
+    def chunks():
+        step = int(chunk_s * 16000)
+        for i in range(0, len(audio), step):
+            piece = audio[i : i + step]
+            if encoding == "f32":
+                yield piece.astype("<f4").tobytes()
+            else:
+                yield np.clip(piece * 32768.0, -32768, 32767).astype(
+                    "<i2"
+                ).tobytes()
+
+    query = "&".join(p for p in (query, f"encoding={encoding}") if p)
+    path = f"/v1/audio/transcriptions/stream?{query}"
+    conn.request(
+        "POST", path, body=chunks(),
+        headers={"Transfer-Encoding": "chunked", "Content-Type": "audio/pcm"},
+        encode_chunked=True,
+    )
+    resp = conn.getresponse()
+    assert resp.status == 200, resp.read()
+    msgs = []
+    for line in resp.read().splitlines():
+        if line.strip():
+            msgs.append(json.loads(line))
+    conn.close()
+    return msgs
+
+
+def test_http_streaming_partials_and_finals(http_server, tpu_model, jfk_audio):
+    """Chunked PCM in, ndjson out: >=1 partial advisory precedes the first
+    final segment; finals + text are bit-identical to batch transcribe()."""
+    import numpy as np
+
+    url, _ = http_server
+    long_audio = np.concatenate([jfk_audio, jfk_audio, jfk_audio])  # 33 s
+    ref = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None
+    )
+    msgs = _stream_pcm(url, long_audio, query="language=en&partial_hop_s=2.0")
+    done = msgs[-1]
+    assert done.get("done"), done
+    segs = [m["segment"] for m in msgs[:-1] if "segment" in m]
+    finals = [s for s in segs if not s.get("partial")]
+    first_final_idx = next(
+        i for i, s in enumerate(segs) if not s.get("partial")
+    )
+    assert any(s.get("partial") for s in segs[:first_final_idx]), (
+        "no partial before the first final segment"
+    )
+    assert done["text"] == ref["text"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+
+
+def test_http_streaming_s16_and_autodetect(http_server, tpu_model, jfk_audio):
+    """s16 encoding decodes as pcm/32768; language omitted auto-detects on
+    the first finalized window, same as batch transcribe(language=None)."""
+    import numpy as np
+
+    url, _ = http_server
+    quantized = (
+        np.clip(jfk_audio * 32768.0, -32768, 32767).astype(np.int16)
+        .astype(np.float32) / 32768.0
+    )
+    long_audio = np.concatenate([quantized, quantized, quantized])
+    ref = tpu_model.transcribe(long_audio, temperature=0.0, verbose=None)
+    msgs = _stream_pcm(url, long_audio, encoding="s16", chunk_s=4.0)
+    done = msgs[-1]
+    assert done.get("done"), done
+    assert done["language"] == ref["language"]
+    assert done["text"] == ref["text"]
+    assert done["duration"] == pytest.approx(33.0, abs=0.1)
+
+
+def test_http_streaming_bad_encoding(http_server):
+    url, _ = http_server
+    status, _, resp = _post(
+        f"{url}/v1/audio/transcriptions/stream?encoding=mp3", b"x", "audio/pcm"
+    )
+    assert status == 400 and b"encoding" in resp

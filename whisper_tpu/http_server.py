@@ -16,6 +16,22 @@ Endpoints:
   POST /v1/audio/transcriptions   multipart form: file (required),
                                   response_format (json | text |
                                   verbose_json; default json)
+  POST /v1/audio/transcriptions/stream
+                                  LIVE streaming: raw little-endian PCM
+                                  body (Content-Length or chunked
+                                  transfer-encoding; query params:
+                                  encoding=f32|s16 [default f32],
+                                  language, partial_hop_s,
+                                  word_timestamps). The response streams
+                                  back newline-delimited JSON as chunked
+                                  transfer-encoding: {"segment": {...,
+                                  "partial": true}} advisories between
+                                  window closes, final segments
+                                  bit-identical to batch transcribe(),
+                                  then {"done": true, text, language,
+                                  duration}. language omitted on a
+                                  multilingual model auto-detects on the
+                                  first finalized window.
   GET  /healthz                   {"ok": true, "model": ..., "slots": N}
 
 Model/decoding options are fixed at server construction — per-request
@@ -40,13 +56,45 @@ import os
 import queue
 import tempfile
 import threading
+import urllib.parse
 from email.parser import BytesParser
 from email.policy import HTTP
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+import numpy as np
+
 from .continuous import ContinuousBatcher
+from .streaming import StreamingTranscriber
 
 MAX_UPLOAD_BYTES = 512 << 20  # ~8.7 h of 16 kHz s16 mono
+MAX_STREAM_PENDING_S = 600.0  # undecoded backlog cap per live session
+
+# per-session knobs a streaming request may set via query params
+_STREAM_SESSION_KEYS = ("language", "partial_hop_s", "word_timestamps", "task")
+
+
+def _json_line(obj: dict) -> bytes:
+    # segments may carry numpy scalars (seek/start/end); item() unwraps
+    return (
+        json.dumps(obj, default=lambda o: o.item() if hasattr(o, "item") else str(o))
+        + "\n"
+    ).encode()
+
+
+class _HTTPStream:
+    """One live streaming request: the handler thread reads/decodes PCM and
+    parks until `done`; the serve thread owns the StreamingTranscriber and
+    writes chunked response frames."""
+
+    __slots__ = ("wfile", "opts", "st", "fed_samples", "dead", "done")
+
+    def __init__(self, wfile, opts: dict):
+        self.wfile = wfile
+        self.opts = opts
+        self.st = None
+        self.fed_samples = 0
+        self.dead = False
+        self.done = threading.Event()
 
 
 class _Pending:
@@ -122,6 +170,7 @@ class TranscriptionHTTPServer:
         self.model = model
         self.slots = slots
         self.language = batcher_options.get("language")
+        self._batcher_options = dict(batcher_options)
         self.batcher = ContinuousBatcher(model, slots=slots, **batcher_options)
         self._make_batcher = lambda: ContinuousBatcher(
             model, slots=slots, **batcher_options
@@ -205,11 +254,115 @@ class TranscriptionHTTPServer:
                 else:
                     self._send_error_openai(404, f"no route {self.path}")
 
+            def _read_pcm_pieces(self):
+                """Yield raw body pieces: chunked transfer-encoding frames,
+                or Content-Length read in slices. Raises on oversize."""
+                total = 0
+                if self.headers.get("Transfer-Encoding", "").lower() == "chunked":
+                    while True:
+                        size_line = self.rfile.readline(34)
+                        size = int(size_line.split(b";")[0].strip() or b"0", 16)
+                        if size == 0:
+                            self.rfile.readline()  # trailing CRLF
+                            return
+                        total += size
+                        if total > MAX_UPLOAD_BYTES:
+                            raise ValueError("stream exceeds 512 MiB")
+                        data = self.rfile.read(size)
+                        self.rfile.readline()  # chunk CRLF
+                        yield data
+                else:
+                    length = int(self.headers.get("Content-Length", "0") or 0)
+                    if length <= 0:
+                        raise ValueError("empty body (need Content-Length or chunked)")
+                    if length > MAX_UPLOAD_BYTES:
+                        raise ValueError("stream exceeds 512 MiB")
+                    while length > 0:
+                        piece = self.rfile.read(min(65536, length))
+                        if not piece:
+                            return
+                        length -= len(piece)
+                        yield piece
+
+            def do_stream(self, query: str):
+                """POST /v1/audio/transcriptions/stream — live PCM in,
+                ndjson segments out. IO stays here; decoding runs on the
+                serve thread (see _stream_event)."""
+                params = {
+                    k: v[0] for k, v in urllib.parse.parse_qs(query).items()
+                }
+                encoding = params.pop("encoding", "f32")
+                if encoding not in ("f32", "s16"):
+                    self._fail_before_body_read(
+                        400, f"encoding must be f32 or s16, got {encoding!r}"
+                    )
+                    return
+                opts = {}
+                try:
+                    for k in _STREAM_SESSION_KEYS:
+                        if k in params:
+                            v = params[k]
+                            if k == "partial_hop_s":
+                                v = float(v)
+                            elif k == "word_timestamps":
+                                v = v.lower() in ("1", "true", "yes")
+                            opts[k] = v
+                except ValueError as e:
+                    self._fail_before_body_read(400, str(e))
+                    return
+
+                self.close_connection = True  # manual chunked framing below
+                self.send_response(200)
+                self.send_header("Content-Type", "application/x-ndjson")
+                self.send_header("Transfer-Encoding", "chunked")
+                self.send_header("Connection", "close")
+                self.end_headers()
+
+                sess = _HTTPStream(self.wfile, opts)
+                if not server._enqueue(("sopen", sess, None)):
+                    server._chunk_write(sess, {"error": "server shutting down"})
+                    self.wfile.write(b"0\r\n\r\n")
+                    return
+                itemsize = 4 if encoding == "f32" else 2
+                buf = b""
+                try:
+                    for piece in self._read_pcm_pieces():
+                        buf += piece
+                        usable = len(buf) - (len(buf) % itemsize)
+                        if usable == 0:
+                            continue
+                        raw, buf = buf[:usable], buf[usable:]
+                        if encoding == "f32":
+                            audio = np.frombuffer(raw, dtype="<f4").astype(
+                                np.float32
+                            )
+                        else:
+                            audio = (
+                                np.frombuffer(raw, dtype="<i2").astype(np.float32)
+                                / 32768.0
+                            )
+                        server._enqueue(("sfeed", sess, audio))
+                    server._enqueue(("send", sess, None))
+                except Exception as e:
+                    server._enqueue(("sfail", sess, f"{type(e).__name__}: {e}"))
+                # the serve thread writes every frame; once `done` is set it
+                # writes no more, so the terminal chunk is safe to add here
+                if not sess.done.wait(timeout=600):
+                    server._bump("http_errors_total")
+                try:
+                    self.wfile.write(b"0\r\n\r\n")
+                except OSError:
+                    pass
+
             def do_POST(self):
                 server._bump("http_requests_total")
                 # self.path carries any query string — match on the path part
                 # (gateways append api-version/tracing params to valid URLs)
-                path = self.path.split("?", 1)[0].rstrip("/")
+                path, _, query = self.path.partition("?")
+                path = path.rstrip("/")
+                if path == "/v1/audio/transcriptions/stream":
+                    self.do_stream(query)
+                    return
                 if path != "/v1/audio/transcriptions":
                     self._fail_before_body_read(404, f"no route {self.path}")
                     return
@@ -333,12 +486,87 @@ class TranscriptionHTTPServer:
         pending.response = (status, payload)
         pending.event.set()
 
+    # ------------------------------------------------------------ streaming
+
+    def _enqueue(self, item) -> bool:
+        with self._queue_lock:
+            if self._queue_open:
+                self._requests.put(item)
+                return True
+        return False
+
+    def _chunk_write(self, sess: _HTTPStream, obj: dict) -> None:
+        if sess.dead:
+            return
+        raw = _json_line(obj)
+        try:
+            sess.wfile.write(f"{len(raw):x}\r\n".encode() + raw + b"\r\n")
+            sess.wfile.flush()
+        except OSError:
+            sess.dead = True
+
+    def _stream_event(self, kind: str, sess: _HTTPStream, payload) -> None:
+        """Serve-thread half of a live HTTP session: every feed()/flush()
+        (and therefore every JAX decode) happens here; response frames are
+        written here too (the handler thread is parked on sess.done)."""
+        if kind == "sopen":
+            opts = dict(self._batcher_options)
+            opts.pop("language", None)  # sessions pin/detect independently
+            opts.pop("slots", None)
+            opts.update(sess.opts)
+            try:
+                sess.st = StreamingTranscriber(self.model, **opts)
+            except Exception as e:
+                self._chunk_write(sess, {"error": f"{type(e).__name__}: {e}"})
+                sess.done.set()
+            return
+        if sess.done.is_set() or sess.st is None:
+            return
+        if kind == "sfeed":
+            backlog = sess.fed_samples / 16000.0 - sess.st.decoded_seconds
+            if backlog > MAX_STREAM_PENDING_S:
+                self._chunk_write(
+                    sess, {"error": "undecoded backlog exceeds 10 min"}
+                )
+                sess.done.set()
+                return
+            sess.fed_samples += len(payload)
+            try:
+                for seg in sess.st.feed(payload):
+                    self._chunk_write(sess, {"segment": seg})
+            except Exception as e:
+                self._chunk_write(sess, {"error": f"{type(e).__name__}: {e}"})
+                sess.done.set()
+        elif kind == "send":
+            try:
+                for seg in sess.st.flush():
+                    self._chunk_write(sess, {"segment": seg})
+                res = sess.st.result
+                self._chunk_write(
+                    sess,
+                    {
+                        "done": True,
+                        "text": res["text"],
+                        "language": res["language"],
+                        "duration": sess.fed_samples / 16000.0,
+                    },
+                )
+            except Exception as e:
+                self._chunk_write(sess, {"error": f"{type(e).__name__}: {e}"})
+            sess.done.set()
+        elif kind == "sfail":
+            self._chunk_write(sess, {"error": payload})
+            sess.done.set()
+
     def _admit(self, block: bool):
         try:
             pending = self._requests.get(timeout=0.05) if block else (
                 self._requests.get_nowait()
             )
         except queue.Empty:
+            return
+        if isinstance(pending, tuple):
+            self._stream_event(*pending)
             return
         try:
             ticket = self.batcher.submit(
@@ -397,6 +625,12 @@ class TranscriptionHTTPServer:
                 p = self._requests.get_nowait()
             except queue.Empty:
                 break
+            if isinstance(p, tuple):  # live-session event: close the session
+                _, sess, _ = p
+                if not sess.done.is_set():
+                    self._chunk_write(sess, {"error": "server shutting down"})
+                    sess.done.set()
+                continue
             self._resolve(p, 503, "server shutting down")
         for p in self._pending_for_ticket.values():
             self._resolve(p, 503, "server shutting down")
