@@ -77,16 +77,23 @@ def main():
     cb.drain()
     warm_s = time.perf_counter() - t_w
 
-    # hedge-worker gate: report READY, then hold the timed passes until the
-    # parent has killed the losing workers (their in-flight server-side
-    # compiles would load the service during the measurement window)
+    # hedge-worker gate: probe this process's replica speed with one
+    # throwaway pass, report READY + the probe, then hold the timed passes
+    # until the parent picks the FASTEST ready replica and kills the rest
+    # (their in-flight server-side compiles would otherwise load the
+    # service during the measurement window)
     out_path = os.environ.get("CONT_WORKER_OUT")
     if out_path:
+        t_p = time.perf_counter()
+        for a in audios[: min(slots, n_req)]:
+            cb.submit(a)
+        cb.drain()
+        probe_s = time.perf_counter() - t_p
         with open(out_path, "w", buffering=1) as f:
-            f.write(f"READY {warm_s:.1f}\n")
+            f.write(f"READY {warm_s:.1f} {probe_s:.3f}\n")
         go = os.environ.get("CONT_GO_FILE")
         t0 = time.time()
-        while go and not os.path.exists(go) and time.time() - t0 < 120:
+        while go and not os.path.exists(go) and time.time() - t0 < 300:
             time.sleep(0.1)
 
     def run_pass():
@@ -181,18 +188,32 @@ def main_hedged(n_workers: int):
         except FileNotFoundError:
             return []
 
-    winner = None
-    while winner is None:
+    # wait for the first READY, then give later workers a grace window to
+    # also report; pick the FASTEST probe (the point of hedging is a fast
+    # replica, and warm-first is only weakly correlated with round speed)
+    grace_s = float(os.environ.get("CONT_GRACE_S", "90"))
+    ready = {}  # i -> probe seconds
+    first_ready_at = None
+    while True:
         time.sleep(0.5)
         for i, (p, path) in enumerate(list(workers)):
+            if i in ready:
+                continue
             ls = lines(path)
             if ls and ls[0].startswith("READY"):
-                winner = i
-                warmup_s = time.perf_counter() - t0
-                winner_found.set()
-                break
-        if winner is None and all(p.poll() is not None for p, _ in workers):
+                ready[i] = float(ls[0].split()[2])
+                if first_ready_at is None:
+                    first_ready_at = time.perf_counter()
+                    warmup_s = first_ready_at - t0
+        if ready and (
+            len(ready) == len(workers)
+            or time.perf_counter() - first_ready_at > grace_s
+        ):
+            break
+        if not ready and all(p.poll() is not None for p, _ in workers):
             raise RuntimeError("every hedge worker died before warmup")
+    winner = min(ready, key=ready.get)
+    winner_found.set()
 
     for i, (p, path) in enumerate(list(workers)):
         if i != winner and p.poll() is None:
@@ -212,6 +233,7 @@ def main_hedged(n_workers: int):
         "spawned": len(workers),
         "winner": winner,
         "time_to_first_warm_s": round(warmup_s, 1),
+        "probe_s": {str(i): round(v, 2) for i, v in ready.items()},
     }
     print(json.dumps(result), flush=True)
 
