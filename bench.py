@@ -327,6 +327,7 @@ def prepare():
         "warm": warm,
         "warmup_breakdown": warmup_breakdown,
         "model_name": model_name,
+        "model": model,  # shared with the daemon's `cont` serving bench
         "total_tokens": total_tokens,
         "device": str(jax.devices()[0]),
     }
@@ -526,8 +527,9 @@ def run_daemon():
         f"(warmup {ctx['warm']:.1f}s, config {_config()})",
         flush=True,
     )
-    while True:
-        conn, _ = srv.accept()
+    def handle(conn):
+        """One connection; runs on its own thread so a long timed op never
+        starves the watchdog's pings (timed ops still serialize on `lock`)."""
         try:
             conn.settimeout(10)
             buf = b""
@@ -536,7 +538,15 @@ def run_daemon():
                 if not chunk:
                     break
                 buf += chunk
-            cmd = json.loads(buf.decode() or "{}").get("cmd")
+            payload = json.loads(buf.decode() or "{}")
+            cmd = payload.get("cmd")
+            daemon_info = {
+                "daemon_warmup_s": round(ctx["warm"], 1),
+                "age_s": round(time.time() - ready_at, 1),
+                "started": time.strftime(
+                    "%Y-%m-%dT%H:%M:%S", time.localtime(t0)
+                ),
+            }
             if cmd == "ping":
                 reply = {
                     "ready": True,
@@ -548,13 +558,20 @@ def run_daemon():
                 conn.settimeout(600)  # 5 warm clips: ~1-10 s
                 with lock:
                     reply = measure(ctx)
-                reply["daemon"] = {
-                    "daemon_warmup_s": round(ctx["warm"], 1),
-                    "age_s": round(time.time() - ready_at, 1),
-                    "started": time.strftime(
-                        "%Y-%m-%dT%H:%M:%S", time.localtime(t0)
-                    ),
-                }
+                reply["daemon"] = daemon_info
+            elif cmd == "cont":
+                # serving bench in THIS resident warm process: the batcher's
+                # bucketed programs compile once on this process's (already
+                # probed-fast) service replica and stay resident, so repeat
+                # calls measure the scheduler, not the replica lottery
+                conn.settimeout(1800)
+                from tools.continuous_bench import run_serving_bench
+
+                slots = int(payload.get("slots", 16))
+                n_req = int(payload.get("n", 32))
+                with lock:
+                    reply = run_serving_bench(ctx["model"], slots, n_req)
+                reply["daemon"] = daemon_info
             else:
                 reply = {"error": f"unknown cmd {cmd!r}"}
             conn.sendall((json.dumps(reply) + "\n").encode())
@@ -562,6 +579,10 @@ def run_daemon():
             print(f"bench daemon request failed: {e}", file=sys.stderr)
         finally:
             conn.close()
+
+    while True:
+        conn, _ = srv.accept()
+        threading.Thread(target=handle, args=(conn,), daemon=True).start()
 
 
 def try_daemon():

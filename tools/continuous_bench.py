@@ -40,19 +40,16 @@ from whisper_tpu.continuous import ContinuousBatcher  # noqa: E402
 from whisper_tpu.models import MODEL_DIMS, Whisper  # noqa: E402
 
 
-def main():
-    slots = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    model_name = os.environ.get("BENCH_MODEL", "turbo")
-    dims = MODEL_DIMS[model_name]
-    model = Whisper(dims, params=None, name=model_name, compute_dtype="bfloat16")
+_BATCHER_CACHE = {}  # (model id, slots) -> warmed ContinuousBatcher
 
-    rng = np.random.RandomState(0)
-    lengths_s = [30 if i % 2 else 60 for i in range(n_req)]
-    audios = [
-        (rng.randn(sec * 16000) * 0.1).astype(np.float32) for sec in lengths_s
-    ]
 
+def prepare_batcher(model, slots, lengths_s, rng):
+    """Build (or reuse) a ContinuousBatcher and warm its bucketed programs
+    on the workload's distinct clip lengths. Returns (batcher, warm_s);
+    warm_s is 0.0 on a cache hit (resident-daemon reuse)."""
+    key = (id(model), slots)
+    if key in _BATCHER_CACHE:
+        return _BATCHER_CACHE[key], 0.0
     cb = ContinuousBatcher(
         model,
         slots=slots,
@@ -62,7 +59,6 @@ def main():
         condition_on_previous_text=False,
         sample_len=64,
     )
-
     # warmup: drain a throwaway request set so the fused graph for
     # n_audio == slots (and helper programs) compile outside the timed run.
     # Clip lengths cycle the WORKLOAD's distinct lengths: the device-mel
@@ -76,25 +72,26 @@ def main():
         cb.submit((rng.randn(sec * 16000) * 0.1).astype(np.float32))
     cb.drain()
     warm_s = time.perf_counter() - t_w
+    _BATCHER_CACHE[key] = cb
+    return cb, warm_s
 
-    # hedge-worker gate: probe this process's replica speed with one
-    # throwaway pass, report READY + the probe, then hold the timed passes
-    # until the parent picks the FASTEST ready replica and kills the rest
-    # (their in-flight server-side compiles would otherwise load the
-    # service during the measurement window)
-    out_path = os.environ.get("CONT_WORKER_OUT")
-    if out_path:
-        t_p = time.perf_counter()
-        for a in audios[: min(slots, n_req)]:
-            cb.submit(a)
-        cb.drain()
-        probe_s = time.perf_counter() - t_p
-        with open(out_path, "w", buffering=1) as f:
-            f.write(f"READY {warm_s:.1f} {probe_s:.3f}\n")
-        go = os.environ.get("CONT_GO_FILE")
-        t0 = time.time()
-        while go and not os.path.exists(go) and time.time() - t0 < 300:
-            time.sleep(0.1)
+
+def workload(n_req, seed=0):
+    rng = np.random.RandomState(seed)
+    lengths_s = [30 if i % 2 else 60 for i in range(n_req)]
+    audios = [
+        (rng.randn(sec * 16000) * 0.1).astype(np.float32) for sec in lengths_s
+    ]
+    return rng, lengths_s, audios
+
+
+def run_serving_bench(model, slots, n_req):
+    """The measurement core, callable from this CLI or from a resident warm
+    process (bench.py daemon `cont` command): warm the batcher, then run two
+    timed passes (first may absorb residual server-side compiles; the second
+    is the honest scheduler number). Returns the result dict."""
+    rng, lengths_s, audios = workload(n_req)
+    cb, warm_s = prepare_batcher(model, slots, lengths_s, rng)
 
     def run_pass():
         """Submit the full request set and drain it; returns timing stats."""
@@ -122,13 +119,10 @@ def main():
             submit_overhead_s=round(t0 - t_submit, 3),
         )
 
-    # two measured passes: the first may still absorb server-side compiles
-    # of this run's program shapes on a cold service replica; the second is
-    # the honest scheduler number (everything resident)
     first = run_pass()
     warm = run_pass()
-    result = {
-        "model": model_name,
+    return {
+        "model": model.name,
         "slots": slots,
         "requests": n_req,
         "audio_seconds": sum(lengths_s),
@@ -136,7 +130,42 @@ def main():
         "warm_pass": warm,
         "warmup_s": round(warm_s, 1),
     }
+
+
+def main():
+    slots = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    n_req = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    model_name = os.environ.get("BENCH_MODEL", "turbo")
+    dims = MODEL_DIMS[model_name]
+    model = Whisper(dims, params=None, name=model_name, compute_dtype="bfloat16")
+
+    rng, lengths_s, audios = workload(n_req)
+    cb, warm_s = prepare_batcher(model, slots, lengths_s, rng)
+
+    # hedge-worker gate: probe this process's replica speed with one
+    # throwaway pass, report READY + the probe, then hold the timed passes
+    # until the parent picks the FASTEST ready replica and kills the rest
+    # (their in-flight server-side compiles would otherwise load the
+    # service during the measurement window)
     out_path = os.environ.get("CONT_WORKER_OUT")
+    if out_path:
+        t_p = time.perf_counter()
+        for a in audios[: min(slots, n_req)]:
+            cb.submit(a)
+        cb.drain()
+        probe_s = time.perf_counter() - t_p
+        with open(out_path, "w", buffering=1) as f:
+            f.write(f"READY {warm_s:.1f} {probe_s:.3f}\n")
+        go = os.environ.get("CONT_GO_FILE")
+        t0 = time.time()
+        while go and not os.path.exists(go) and time.time() - t0 < 300:
+            time.sleep(0.1)
+
+    # two measured passes: the first may still absorb server-side compiles
+    # of this run's program shapes on a cold service replica; the second is
+    # the honest scheduler number (everything resident)
+    result = run_serving_bench(model, slots, n_req)
+    result["warmup_s"] = round(warm_s, 1)
     if out_path:
         with open(out_path, "a", buffering=1) as f:
             f.write(json.dumps(result) + "\n")
@@ -238,8 +267,60 @@ def main_hedged(n_workers: int):
     print(json.dumps(result), flush=True)
 
 
+def try_daemon(slots, n_req):
+    """Probe the bench warm-daemon (bench.py BENCH_ROLE=daemon). On a ready
+    daemon serving the same model, run the serving bench IN the resident
+    process — the production posture, and immune to the fresh-process
+    replica lottery. Returns the result dict or None (-> cold path)."""
+    import socket
+
+    sock_path = os.environ.get(
+        "CONT_DAEMON_SOCK", os.path.join(REPO, ".bench_daemon.sock")
+    )
+    if not os.path.exists(sock_path):
+        return None
+
+    def ask(payload, timeout):
+        c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+        try:
+            c.settimeout(timeout)
+            c.connect(sock_path)
+            c.sendall((json.dumps(payload) + "\n").encode())
+            buf = b""
+            while b"\n" not in buf:
+                chunk = c.recv(65536)
+                if not chunk:
+                    return None
+                buf += chunk
+            return json.loads(buf.decode())
+        except (OSError, ValueError):
+            return None
+        finally:
+            c.close()
+
+    info = ask({"cmd": "ping"}, timeout=5)
+    model_name = os.environ.get("BENCH_MODEL", "turbo")
+    if (
+        not info
+        or not info.get("ready")
+        or info.get("config", {}).get("model") != model_name
+    ):
+        return None
+    r = ask({"cmd": "cont", "slots": slots, "n": n_req}, timeout=1800)
+    if r and "error" not in r:
+        r["mode"] = "warm_daemon"
+    return r
+
+
 if __name__ == "__main__":
     n_hedge = int(os.environ.get("CONT_HEDGE", "1"))
+    if not os.environ.get("CONT_COLD") and not os.environ.get("CONT_WORKER_OUT"):
+        _slots = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+        _n = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+        _r = try_daemon(_slots, _n)
+        if _r is not None:
+            print(json.dumps(_r), flush=True)
+            sys.exit(0)
     if n_hedge > 1 and not os.environ.get("CONT_WORKER_OUT"):
         main_hedged(n_hedge)
     else:
