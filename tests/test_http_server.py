@@ -474,3 +474,55 @@ def test_http_streaming_bad_encoding(http_server):
         f"{url}/v1/audio/transcriptions/stream?encoding=mp3", b"x", "audio/pcm"
     )
     assert status == 400 and b"encoding" in resp
+
+
+def _raw_stream_request(url: str, headers: str, payload: bytes) -> bytes:
+    """Open a raw TCP socket, send a hand-built /stream POST, half-close,
+    and return everything the server sends back."""
+    import socket as socket_mod
+    import urllib.parse as up
+
+    u = up.urlparse(url)
+    s = socket_mod.create_connection((u.hostname, u.port), timeout=60)
+    s.sendall(
+        (
+            "POST /v1/audio/transcriptions/stream?encoding=s16&language=en "
+            "HTTP/1.1\r\n"
+            f"Host: {u.hostname}\r\n{headers}\r\n\r\n"
+        ).encode()
+        + payload
+    )
+    s.shutdown(socket_mod.SHUT_WR)
+    out = b""
+    try:
+        while True:
+            d = s.recv(65536)
+            if not d:
+                break
+            out += d
+    except OSError:
+        pass
+    s.close()
+    return out
+
+
+def test_http_streaming_negative_chunk_rejected(http_server):
+    """A negative chunked-encoding size parses as hex but must be refused:
+    it would bypass the upload cap and turn the body read into read-to-EOF."""
+    url, _ = http_server
+    out = _raw_stream_request(
+        url, "Transfer-Encoding: chunked", b"-1\r\nXXXX\r\n0\r\n\r\n"
+    )
+    assert b'"error"' in out and b"negative chunk size" in out
+    assert out.rstrip().endswith(b"0\r\n\r\n".rstrip())  # terminal chunk
+
+
+def test_http_streaming_short_body_is_an_error(http_server):
+    """Dying mid-upload (fewer bytes than Content-Length) must produce an
+    error frame, not a done:true transcript of silently truncated audio."""
+    url, _ = http_server
+    out = _raw_stream_request(
+        url, "Content-Length: 64000", b"\x00" * 1000
+    )
+    assert b'"error"' in out and b"short of" in out
+    assert b'"done": true' not in out

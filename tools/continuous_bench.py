@@ -307,8 +307,12 @@ def try_daemon(slots, n_req):
     ):
         return None
     r = ask({"cmd": "cont", "slots": slots, "n": n_req}, timeout=1800)
-    if r and "error" not in r:
-        r["mode"] = "warm_daemon"
+    if not r or "error" in r:
+        # e.g. a resident daemon predating the `cont` command replies
+        # {"error": "unknown cmd 'cont'"} — fall back to the cold path
+        # rather than recording an error line as the measurement
+        return None
+    r["mode"] = "warm_daemon"
     return r
 
 

@@ -164,6 +164,10 @@ def main():
         cache = model.kv_to_cache(kv, beam=n_group)
         return raw_loop(dec, ckb, cvb, cache)
 
+    results[f"raw_step_loop[{args.steps} steps]"] = time_fn(
+        raw, max(2, args.trials // 2)
+    )
+
     # word-timestamp alignment replay (prefill + alignment-head capture),
     # the reference Decoder256's out_cross_head_weights path
     align_tokens = np.array(

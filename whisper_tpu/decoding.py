@@ -614,8 +614,11 @@ class DecodingTask:
         else:
             assert isinstance(suppress_tokens, list), "suppress_tokens must be a list"
 
-        # task/control specials are always suppressed (reference :654-666)
+        # task/control specials are always suppressed (reference :654-666).
+        # Copy first: without it `+=` extends the CALLER's list in place,
+        # growing a reused options.suppress_tokens on every decode.
         tok = self.tokenizer
+        suppress_tokens = list(suppress_tokens)
         suppress_tokens += [tok.transcribe, tok.translate, tok.sot, tok.sot_prev,
                             tok.sot_lm]
         if tok.no_speech is not None:

@@ -56,6 +56,7 @@ import os
 import queue
 import tempfile
 import threading
+import time
 import urllib.parse
 from email.parser import BytesParser
 from email.policy import HTTP
@@ -86,15 +87,28 @@ class _HTTPStream:
     parks until `done`; the serve thread owns the StreamingTranscriber and
     writes chunked response frames."""
 
-    __slots__ = ("wfile", "opts", "st", "fed_samples", "dead", "done")
+    __slots__ = (
+        "wfile",
+        "opts",
+        "st",
+        "fed_samples",
+        "enqueued_samples",
+        "dead",
+        "done",
+        "wlock",
+    )
 
     def __init__(self, wfile, opts: dict):
         self.wfile = wfile
         self.opts = opts
         self.st = None
-        self.fed_samples = 0
+        self.fed_samples = 0  # serve thread: samples whose sfeed ran
+        self.enqueued_samples = 0  # handler thread: samples put on the queue
         self.dead = False
         self.done = threading.Event()
+        # serializes response writes between the serve thread (frames) and
+        # the handler thread (terminal chunk on a timed-out session)
+        self.wlock = threading.Lock()
 
 
 class _Pending:
@@ -262,6 +276,11 @@ class TranscriptionHTTPServer:
                     while True:
                         size_line = self.rfile.readline(34)
                         size = int(size_line.split(b";")[0].strip() or b"0", 16)
+                        if size < 0:
+                            # int(b"-10", 16) parses; a negative size would
+                            # roll back `total` past the cap and turn the
+                            # read() below into read-to-EOF
+                            raise ValueError("negative chunk size")
                         if size == 0:
                             self.rfile.readline()  # trailing CRLF
                             return
@@ -269,6 +288,8 @@ class TranscriptionHTTPServer:
                         if total > MAX_UPLOAD_BYTES:
                             raise ValueError("stream exceeds 512 MiB")
                         data = self.rfile.read(size)
+                        if len(data) < size:
+                            raise ValueError("connection closed mid-chunk")
                         self.rfile.readline()  # chunk CRLF
                         yield data
                 else:
@@ -280,7 +301,13 @@ class TranscriptionHTTPServer:
                     while length > 0:
                         piece = self.rfile.read(min(65536, length))
                         if not piece:
-                            return
+                            # short read = the client died mid-upload; a
+                            # silent return here would transcribe truncated
+                            # audio and reply done:true as if it were whole
+                            raise ValueError(
+                                f"connection closed {length} bytes short of "
+                                "Content-Length"
+                            )
                         length -= len(piece)
                         yield piece
 
@@ -341,18 +368,49 @@ class TranscriptionHTTPServer:
                                 np.frombuffer(raw, dtype="<i2").astype(np.float32)
                                 / 32768.0
                             )
+                        # backpressure: stop reading the socket while the
+                        # serve thread is behind by more than the cap, so
+                        # the queue holds a bounded amount of audio and the
+                        # client sees TCP pushback instead of an OOM'd server
+                        waited_s = 0.0
+                        while (
+                            not sess.done.is_set()
+                            and (sess.enqueued_samples - sess.fed_samples)
+                            / 16000.0
+                            > MAX_STREAM_PENDING_S
+                        ):
+                            if waited_s > 600.0:  # wedged serve thread
+                                raise RuntimeError(
+                                    "server backlogged beyond the stream cap"
+                                )
+                            time.sleep(0.05)
+                            waited_s += 0.05
+                        if sess.done.is_set():
+                            break  # session failed server-side; stop reading
+                        sess.enqueued_samples += len(audio)
                         server._enqueue(("sfeed", sess, audio))
                     server._enqueue(("send", sess, None))
                 except Exception as e:
                     server._enqueue(("sfail", sess, f"{type(e).__name__}: {e}"))
-                # the serve thread writes every frame; once `done` is set it
-                # writes no more, so the terminal chunk is safe to add here
-                if not sess.done.wait(timeout=600):
-                    server._bump("http_errors_total")
-                try:
-                    self.wfile.write(b"0\r\n\r\n")
-                except OSError:
-                    pass
+                # wait for the serve thread to finish the session; keep
+                # waiting while it is making progress (long uploads decode
+                # interleaved with batch rounds), give up only after a
+                # 10-minute slice with no event processed
+                last_fed = -1
+                while not sess.done.wait(timeout=600):
+                    if sess.fed_samples == last_fed:
+                        server._bump("http_errors_total")
+                        break
+                    last_fed = sess.fed_samples
+                # once `done` is set the serve thread writes no more; on the
+                # no-progress bailout, killing the session under wlock keeps
+                # the terminal chunk from interleaving with a frame write
+                with sess.wlock:
+                    sess.dead = True
+                    try:
+                        self.wfile.write(b"0\r\n\r\n")
+                    except OSError:
+                        pass
 
             def do_POST(self):
                 server._bump("http_requests_total")
@@ -496,14 +554,15 @@ class TranscriptionHTTPServer:
         return False
 
     def _chunk_write(self, sess: _HTTPStream, obj: dict) -> None:
-        if sess.dead:
-            return
-        raw = _json_line(obj)
-        try:
-            sess.wfile.write(f"{len(raw):x}\r\n".encode() + raw + b"\r\n")
-            sess.wfile.flush()
-        except OSError:
-            sess.dead = True
+        with sess.wlock:
+            if sess.dead:
+                return
+            raw = _json_line(obj)
+            try:
+                sess.wfile.write(f"{len(raw):x}\r\n".encode() + raw + b"\r\n")
+                sess.wfile.flush()
+            except OSError:
+                sess.dead = True
 
     def _stream_event(self, kind: str, sess: _HTTPStream, payload) -> None:
         """Serve-thread half of a live HTTP session: every feed()/flush()
@@ -523,13 +582,12 @@ class TranscriptionHTTPServer:
         if sess.done.is_set() or sess.st is None:
             return
         if kind == "sfeed":
-            backlog = sess.fed_samples / 16000.0 - sess.st.decoded_seconds
-            if backlog > MAX_STREAM_PENDING_S:
-                self._chunk_write(
-                    sess, {"error": "undecoded backlog exceeds 10 min"}
-                )
-                sess.done.set()
-                return
+            # backlog control lives on the HANDLER thread (do_stream stops
+            # reading the socket while enqueued-but-unprocessed audio exceeds
+            # MAX_STREAM_PENDING_S, so the queue stays bounded and TCP
+            # backpressure reaches the client); feed() below decodes every
+            # complete window synchronously, so decode lag never exceeds one
+            # window here
             sess.fed_samples += len(payload)
             try:
                 for seg in sess.st.feed(payload):

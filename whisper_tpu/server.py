@@ -62,6 +62,7 @@ import os
 import queue
 import socket
 import threading
+import time
 from typing import Dict, Optional
 
 import numpy as np
@@ -162,6 +163,8 @@ class TranscriptionServer:
         """Reader loop of one streaming session: parse JSON lines, decode
         base64 PCM on this IO thread, enqueue numpy chunks for the serve
         thread. Runs until {"end": true}, EOF, or a protocol error."""
+        enqueued_samples = 0  # this thread is the only enqueuer for conn
+        session_seen = False
         try:
             conn.settimeout(self.STREAM_IDLE_TIMEOUT_S)
             while True:
@@ -192,6 +195,34 @@ class TranscriptionServer:
                     )
                 else:
                     raise ValueError("stream line must carry pcm/pcm16/end")
+                # backpressure: stop reading the socket while the serve
+                # thread is more than MAX_STREAM_PENDING_S of audio behind,
+                # so the queue stays bounded and the client sees TCP
+                # pushback instead of the server buffering without limit
+                waited_s = 0.0
+                while True:
+                    sess = self._streams.get(id(conn))
+                    if sess is not None:
+                        session_seen = True
+                        if sess.dead:
+                            return
+                        fed = sess.fed_samples
+                    elif session_seen:
+                        return  # session closed server-side; stop reading
+                    else:
+                        fed = 0  # stream_open still queued
+                    if (
+                        enqueued_samples - fed
+                    ) / 16000.0 <= self.MAX_STREAM_PENDING_S:
+                        break
+                    if waited_s > self.STREAM_IDLE_TIMEOUT_S:
+                        raise ValueError(
+                            "server backlogged beyond the stream cap; "
+                            "aborting session"
+                        )
+                    time.sleep(0.05)
+                    waited_s += 0.05
+                enqueued_samples += len(audio)
                 self._enqueue(("stream_feed", conn, audio))
         except Exception as e:
             # the serve thread owns the session: let it report and clean up
@@ -277,10 +308,10 @@ class TranscriptionServer:
         if sess is None:
             return  # already failed/closed
         if kind == "stream_feed":
-            backlog = sess.fed_samples / 16000.0 - sess.st.decoded_seconds
-            if backlog > self.MAX_STREAM_PENDING_S:
-                self._stream_fail(sess, "undecoded backlog exceeds 10 min")
-                return
+            # backlog control lives on the READER thread (_read_stream stops
+            # reading while enqueued-but-unprocessed audio exceeds
+            # MAX_STREAM_PENDING_S); feed() decodes every complete window
+            # synchronously, so decode lag here never exceeds one window
             sess.fed_samples += len(payload)
             try:
                 for seg in sess.st.feed(payload):

@@ -147,24 +147,26 @@ class StreamingTranscriber:
 
     # -- internals ---------------------------------------------------------
 
-    def _detect_window_language(self) -> str:
+    def _detect_window_language(self, mel=None) -> str:
         """detect_language on the stream's current window — built EXACTLY
         like the batch path's detection window (transcribe.py:341-354):
         N_FRAMES frames sliced from the zero-PADDED mel, so a short window's
         tail is mel-of-silence frames, not literal zeros (a decode window
         pads with zeros instead; the two differ, and detection must match
-        batch bit-for-bit)."""
-        mel = self._tail_mel()
+        batch bit-for-bit). Pass the already-computed tail mel to avoid a
+        second STFT of the same audio."""
+        if mel is None:
+            mel = self._tail_mel()
         off = self._seek - max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
         window = mel[:, off : off + N_FRAMES].astype(np.float32)
         _, lang_probs = self.model.detect_language(window)
         return max(lang_probs, key=lang_probs.get)
 
-    def _pin_language(self) -> None:
+    def _pin_language(self, mel=None) -> None:
         """Pin the stream's language from its first decoded window and build
         the tokenizer. Finals match batch transcribe(language=None): both
         detect on the frame-0 window of the same (bit-identical) mel."""
-        self.language = self._detect_window_language()
+        self.language = self._detect_window_language(mel)
         self.tokenizer = get_tokenizer(
             self.model.is_multilingual,
             num_languages=self.model.num_languages,
@@ -271,12 +273,14 @@ class StreamingTranscriber:
         self._log_max = max(self._log_max, float(raw.max()))
         return normalize_log_mel(raw, self._log_max)
 
-    def _window_mel(self, avail: int):
+    def _window_mel(self, avail: int, mel=None):
         """Mel window starting at the absolute frame `self._seek`, computed
         over only the retained tail (O(window), not O(stream age)); frames
         match a whole-stream mel exactly (see _LOOKAHEAD_FRAMES and
-        _tail_mel)."""
-        mel = self._tail_mel()
+        _tail_mel). Pass an already-computed tail mel to share one STFT
+        with language detection."""
+        if mel is None:
+            mel = self._tail_mel()
         off = self._seek - max(self._base, self._seek - self._LOOKAHEAD_FRAMES)
         segment_size = min(N_FRAMES, avail)
         return pad_or_trim(mel[:, off : off + segment_size], N_FRAMES), segment_size
@@ -304,11 +308,12 @@ class StreamingTranscriber:
                 # hallucinations; discard it like the batch path
                 # (transcribe.py sub-second tail rule, reference :292-297)
                 break
-            mel_window, segment_size = self._window_mel(avail)
+            tail_mel = self._tail_mel()  # one STFT shared by decode + detect
+            mel_window, segment_size = self._window_mel(avail, tail_mel)
             mel_window = mel_window.astype(np.float32)
             time_offset = float(self._seek * HOP_LENGTH / SAMPLE_RATE)
             if self.language is None:
-                self._pin_language()
+                self._pin_language(tail_mel)
 
             result = self._decode_window(mel_window)
 
@@ -435,7 +440,8 @@ class StreamingTranscriber:
         if avail < SAMPLE_RATE // HOP_LENGTH:
             return []
         self._last_partial_frames = content_frames
-        mel_window, segment_size = self._window_mel(avail)
+        tail_mel = self._tail_mel()  # one STFT shared by decode + detect
+        mel_window, segment_size = self._window_mel(avail, tail_mel)
         mel_window = mel_window.astype(np.float32)
         # before the stream's language is pinned (first FINAL window),
         # partials detect provisionally on the open window — advisory only,
@@ -444,7 +450,7 @@ class StreamingTranscriber:
         language = self.language
         tokenizer = self.tokenizer
         if language is None:
-            language = self._detect_window_language()
+            language = self._detect_window_language(tail_mel)
             tokenizer = get_tokenizer(
                 self.model.is_multilingual,
                 num_languages=self.model.num_languages,
