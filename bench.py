@@ -502,6 +502,12 @@ def run_daemon():
     import threading
 
     t0 = time.time()
+    # pidfile next to the socket, written BEFORE the (possibly minutes-long)
+    # warmup: the watchdog distinguishes "still warming" from "dead" by
+    # liveness of this pid, and restart scripts kill the real process
+    # instead of a long-gone setsid wrapper
+    with open(DAEMON_SOCK + ".pid", "w") as f:
+        f.write(str(os.getpid()))
     ctx = prepare()
     ready_at = time.time()
     lock = threading.Lock()  # trials and keepalives never overlap

@@ -26,8 +26,10 @@ PY
   if [ "$ok" != "1" ]; then
     # a daemon that hasn't bound its socket yet may still be WARMING (cold
     # replica warmups have measured 900+ s) — only restart when the recorded
-    # pid is actually gone, else we spawn duplicates and orphan the old one
-    if [ -f "$REPO/.bench_daemon.pid" ] && kill -0 "$(cat "$REPO/.bench_daemon.pid")" 2>/dev/null; then
+    # pid is actually gone, else we spawn duplicates and orphan the old one.
+    # The daemon writes "$SOCK.pid" itself before warmup (bench.py
+    # run_daemon), so the pid is the real python process, not a wrapper.
+    if [ -f "$SOCK.pid" ] && kill -0 "$(cat "$SOCK.pid")" 2>/dev/null; then
       echo "$(date -Is) socket not ready but daemon pid alive; waiting" \
         >> "$REPO/.bench_daemon_watchdog.log"
     else
@@ -35,7 +37,6 @@ PY
       rm -f "$SOCK"
       cd "$REPO" && setsid nohup env BENCH_ROLE=daemon python bench.py \
         >> "$REPO/.bench_daemon.log" 2>&1 < /dev/null &
-      echo $! > "$REPO/.bench_daemon.pid"
       sleep 600   # give the restart its warmup before re-probing
     fi
   fi

@@ -95,6 +95,7 @@ def run_serving_bench(model, slots, n_req):
 
     def run_pass():
         """Submit the full request set and drain it; returns timing stats."""
+        stats0 = dict(cb.stats)
         t_submit = time.perf_counter()
         tickets = [cb.submit(a) for a in audios]
         done_at = {}
@@ -117,6 +118,12 @@ def run_serving_bench(model, slots, n_req):
             latency_mean_s=round(float(np.mean(lats)), 3),
             latency_p95_s=round(float(np.percentile(lats, 95)), 3),
             submit_overhead_s=round(t0 - t_submit, 3),
+            # where the rounds' wall time went (batcher phase accumulators)
+            phases_s={
+                k.replace("_seconds_sum", ""): round(cb.stats[k] - stats0[k], 3)
+                for k in ("mel_seconds_sum", "decode_seconds_sum",
+                          "apply_seconds_sum")
+            },
         )
 
     first = run_pass()

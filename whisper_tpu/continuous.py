@@ -159,6 +159,13 @@ class ContinuousBatcher:
             "rounds": 0,
             "round_seconds_sum": 0.0,
             "windows_decoded": 0,
+            # per-phase wall time inside step(): window-mel build, fused
+            # decode (+fallback ladder), host-side transcript apply — the
+            # serving analog of the reference's per-graph predict-time
+            # accumulators (coreml.py:7-13)
+            "mel_seconds_sum": 0.0,
+            "decode_seconds_sum": 0.0,
+            "apply_seconds_sum": 0.0,
         }
 
     # ------------------------------------------------------------------ API
@@ -267,6 +274,7 @@ class ContinuousBatcher:
         if not occupied:
             return False
 
+        _t_mel = _time.perf_counter()
         prompts: List[List[int]] = [[] for _ in range(self.slots)]
         if self._device_mel:
             from .ops.stft import device_mel_round_windows
@@ -301,6 +309,9 @@ class ContinuousBatcher:
                 mels[i, :, : window.shape[-1]] = window
                 if self.condition_on_previous_text:
                     prompts[i] = s.all_tokens[s.prompt_reset_since :]
+
+        _t_dec = _time.perf_counter()
+        self.stats["mel_seconds_sum"] += _t_dec - _t_mel
 
         # one fused call per language group (one group when language pinned)
         lang_groups: Dict[str, List[int]] = {}
@@ -352,6 +363,9 @@ class ContinuousBatcher:
                     )[0]
                 results[slot] = r
 
+        _t_apply = _time.perf_counter()
+        self.stats["decode_seconds_sum"] += _t_apply - _t_dec
+
         for i, ticket in enumerate(self._slot_ticket):
             if ticket is None:
                 continue
@@ -368,6 +382,7 @@ class ContinuousBatcher:
                 self._slot_ticket[i] = None
         self.stats["rounds"] += 1
         self.stats["round_seconds_sum"] += _time.perf_counter() - _t0
+        self.stats["apply_seconds_sum"] += _time.perf_counter() - _t_apply
         self.stats["windows_decoded"] += len(occupied)
         return True
 
