@@ -268,3 +268,55 @@ def test_server_streaming_bad_line(server):
     assert "error" in done
     c.close()
     assert "error" in _request(sock, {"no_audio": 1})  # server still alive
+
+
+def test_server_streaming_backpressure_bounds_queue(
+    server, tpu_model, jfk_audio, monkeypatch
+):
+    """A client pushing audio faster than the serve thread decodes must not
+    grow the event queue without bound: the reader thread stops pulling from
+    the socket once enqueued-but-unprocessed audio exceeds
+    MAX_STREAM_PENDING_S, and the session still finishes with finals equal
+    to batch transcribe()."""
+    import time
+
+    from whisper_tpu.server import TranscriptionServer
+
+    sock, srv = server
+    monkeypatch.setattr(TranscriptionServer, "MAX_STREAM_PENDING_S", 2.0)
+
+    # 99 s: after the FIRST 30 s window completes, ~69 s of audio (138
+    # chunks) is still being pushed while the serve thread decodes — an
+    # unbounded queue would absorb most of it; the cap admits ~4 chunks
+    long_audio = np.concatenate([jfk_audio] * 9)
+    ref = tpu_model.transcribe(
+        long_audio, language="en", temperature=0.0, verbose=None
+    )
+
+    c, f = _open_stream(sock, {"language": "en"})
+    chunk = 8000  # 0.5 s
+    max_qsize = [0]
+    feeding = [True]
+
+    def watch():
+        while feeding[0]:
+            max_qsize[0] = max(max_qsize[0], srv._requests.qsize())
+            time.sleep(0.005)
+
+    w = threading.Thread(target=watch, daemon=True)
+    w.start()
+    for i in range(0, len(long_audio), chunk):
+        _send_pcm(c, long_audio[i : i + chunk])
+    c.sendall(b'{"end": true}\n')
+    lines, done = _read_stream_lines(f)
+    feeding[0] = False
+    w.join(timeout=5)
+    c.close()
+
+    assert done.get("done"), done
+    finals = [m["segment"] for m in lines if "segment" in m]
+    assert done["text"] == ref["text"]
+    assert [s["tokens"] for s in finals] == [s["tokens"] for s in ref["segments"]]
+    # cap 2 s / 0.5 s chunks -> at most ~4 queued feeds plus scheduling
+    # slack; an unbounded queue would hold most of the 66 chunks
+    assert max_qsize[0] <= 10, f"queue grew to {max_qsize[0]} events"

@@ -147,7 +147,12 @@ def _query_chunk(T: int) -> int:
     chunk's scores inside one fusion: measured 1.15 -> 0.35 ms per encoder
     attention on v5e (bit-exact — every softmax row sees the full key set).
     The Pallas flash-attention kernel measured SLOWER here (2 ms; dh=64
-    half-fills the MXU lanes), so the chunked-XLA form wins.
+    half-fills the MXU lanes), so the chunked-XLA form wins. Re-probed on
+    live v5e with the splash-attention kernel family
+    (jax.experimental.pallas.ops.tpu.splash_attention, full mask, T padded
+    to 1536): 2.7x slower than this form at B=16 (31.8 vs 11.9 ms per
+    whole-encoder-batch attention; jax.nn.dot_product_attention ties at
+    11.4 ms) — same dh=64 lane under-fill, so the conclusion holds.
     """
     if T < 1024:
         return 0
