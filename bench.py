@@ -552,6 +552,9 @@ def run_daemon():
                 "started": time.strftime(
                     "%Y-%m-%dT%H:%M:%S", time.localtime(t0)
                 ),
+                # the serving config behind this number (an int8-weights
+                # daemon must not pass its results off as bf16)
+                "config": _config(),
             }
             if cmd == "ping":
                 reply = {
